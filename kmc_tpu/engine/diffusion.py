@@ -1,0 +1,222 @@
+"""Diffusion sweep (components C9-C12, C15 of SURVEY.md §2).
+
+The reference moves molecules one-by-one in a Gauss-Seidel sweep
+(main.cpp:577-1872): free receptors (C9, :584-677), lone cis pairs
+(C10, :682-865), free ligands (C11, :905-969) and bonded complexes
+(C12, :974-1131), each followed by an O(N x beads) collision scan with
+full revert.  The TPU design replaces the sweep with one synchronous
+round:
+
+1.  every *cluster* (connected component of the bond graph, including
+    singletons) samples one rigid translation + rotation from its mobility
+    class — the same classes and diffusion constants as the reference,
+    including the >=2-ligand freeze (main.cpp:984-985, 1082-1083);
+2.  all proposals are applied to poses in parallel;
+3.  collisions are evaluated for all cluster pairs at once — a proposal is
+    rejected if it overlaps any *other* cluster in either that cluster's
+    proposed or current placement (a symmetric, slightly stricter variant
+    of the reference's order-dependent scan; acceptance statistics agree at
+    reference densities where multi-cluster conflicts are rare);
+4.  rejected clusters revert as a unit (reference revert, :666-674,
+    :851-863, :1831-1860).
+
+Collision model (exactly the reference radii):
+  A-A: rod-axis distance < 2*R_A (bead 0 only, :640-650),
+  A-B: any A bead center vs any B bead center < R_A + R_B (:652-664),
+  B-B: any bead pair < 2*R_B (:1798-1812).
+
+Ligand z-boundary handling matches main.cpp:925-931 (reflection); the
+orientation after reflection is conjugated with the z-mirror
+(q -> (w, -x, -y, z)), which reproduces the reference's mirrored bead and
+site positions exactly; only the virtual up-marker acquires an extra sign
+(documented deviation — it only enters the theta_pd reaction gate of an
+already tumbling free ligand).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from kmc_tpu.config import SimConfig
+from kmc_tpu.engine.clusters import ClusterInfo
+from kmc_tpu.geometry import quat_from_euler, quat_mul, quat_to_mat
+from kmc_tpu.state import SimState, positions
+
+
+def mobility(info: ClusterInfo, cfg: SimConfig):
+    """Per-molecule (D_trans, D_rot, is3d) of the molecule's cluster.
+
+    Classes (SURVEY §2 C9-C12):
+      free ligand        -> (RB_B_D, RB_B_rot_D), 3D moves
+      free receptor      -> (RB_A_D, RB_A_rot_D), in-plane
+      lone cis pair      -> (cis_D, cis_rot_D), in-plane
+      1-ligand complex   -> (bond_D, bond_rot_D), in-plane
+      >=2-ligand complex -> frozen (main.cpp:984-985)
+    """
+    has_b = info.n_b > 0
+    free_b = has_b & (info.size == 1)
+    one_lig = (info.n_b == 1) & (info.size > 1)
+    frozen = info.n_b >= 2
+    free_a = ~has_b & (info.size == 1)
+    cis_pair = ~has_b & (info.size >= 2)
+
+    d = jnp.where(free_b, cfg.rb_b_d, 0.0)
+    d = jnp.where(one_lig, cfg.bond_d, d)
+    d = jnp.where(free_a, cfg.rb_a_d, d)
+    d = jnp.where(cis_pair, cfg.cis_d, d)
+    d = jnp.where(frozen, 0.0, d)
+
+    rot = jnp.where(free_b, cfg.rb_b_rot_d, 0.0)
+    rot = jnp.where(one_lig, cfg.bond_rot_d, rot)
+    rot = jnp.where(free_a, cfg.rb_a_rot_d, rot)
+    rot = jnp.where(cis_pair, cfg.cis_rot_d, rot)
+    rot = jnp.where(frozen, 0.0, rot)
+    return d.astype(jnp.float32), rot.astype(jnp.float32), free_b
+
+
+def collide_matrix(p, q, cfg: SimConfig):
+    """Molecule-level overlap matrix bool[n, n] between placements p and q
+    (each f32[n, 4, 4, 3]).  Entry [i, j] = molecule i at p overlaps
+    molecule j at q under the reference's collision model."""
+    na = cfg.n_a
+    ra, rb = cfg.rb_a_radius, cfg.rb_b_radius
+
+    pa = p[:na, 0, 0, :]                 # A rod base centers [na, 3]
+    qa = q[:na, 0, 0, :]
+    pab = p[:na, :, 0, :]                # A bead centers [na, 4, 3]
+    qab = q[:na, :, 0, :]
+    pbb = p[na:, 1:, 0, :]               # B real-bead centers [nb, 3, 3]
+    qbb = q[na:, 1:, 0, :]
+
+    def d2(x, y):
+        # x: [m, kx, 3], y: [mm, ky, 3] -> [m, mm, kx, ky]
+        diff = x[:, None, :, None, :] - y[None, :, None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+
+    aa = jnp.sum((pa[:, None] - qa[None, :]) ** 2, -1) < (2 * ra) ** 2
+    ab = jnp.any(d2(pab, qbb) < (ra + rb) ** 2, axis=(2, 3))
+    ba = jnp.any(d2(pbb, qab) < (ra + rb) ** 2, axis=(2, 3))
+    bb = jnp.any(d2(pbb, qbb) < (2 * rb) ** 2, axis=(2, 3))
+
+    top = jnp.concatenate([aa, ab], axis=1)
+    bot = jnp.concatenate([ba, bb], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def cluster_reject(p, q, label, cfg: SimConfig):
+    """bool[n] per-LABEL flag: cluster overlaps another cluster, evaluated
+    with every molecule i at p against every molecule j at q."""
+    hit = collide_matrix(p, q, cfg)
+    cross = label[:, None] != label[None, :]
+    mol_hit = jnp.any(hit & cross, axis=1)
+    return (
+        jax.ops.segment_max(mol_hit.astype(jnp.int32), label, num_segments=cfg.n)
+        > 0
+    )
+
+
+def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig) -> SimState:
+    """One synchronous diffusion round over all clusters."""
+    n, na, nb = cfg.n, cfg.n_a, cfg.n_b
+    dt = cfg.time_step
+    lx, ly, lz = cfg.cell_range_x, cfg.cell_range_y, cfg.cell_range_z
+    label = info.label
+
+    d, rot_d, free_b = mobility(info, cfg)
+    moving = (d > 0) | (rot_d > 0)
+
+    # --- per-cluster draws (rows indexed by cluster label) ---
+    u = jax.random.uniform(skey, (n, 6))
+    u_amp = u[label, 0]
+    phai = u[label, 1] * 2.0 * jnp.pi
+    if cfg.sin_weighted_theta:
+        theta_dir = jnp.arccos(1.0 - 2.0 * u[label, 2])
+    else:
+        theta_dir = u[label, 2] * jnp.pi        # reference quirk (main.cpp:910)
+
+    # displacement magnitude 2*sqrt(D dt/6)*U (main.cpp:585, 693, 909, 990)
+    amp = 2.0 * jnp.sqrt(d * dt / 6.0) * u_amp
+    sin_t = jnp.where(free_b, jnp.sin(theta_dir), 1.0)
+    cos_t = jnp.where(free_b, jnp.cos(theta_dir), 0.0)
+    tvec = jnp.stack(
+        [amp * sin_t * jnp.cos(phai), amp * sin_t * jnp.sin(phai), amp * cos_t],
+        axis=-1,
+    )                                           # [n, 3]
+
+    a_xy = state.a_xy + tvec[:na, :2]
+    b_center = state.b_center + tvec[na:]
+    b_quat = state.b_quat
+
+    # --- ligand z reflection (free ligands only; main.cpp:925-931) ---
+    zc = b_center[:, 2]
+    refl = (free_b[na:]) & ((zc > lz) | (zc < 0.0))
+    z_shift = lz * jnp.round(zc / lz)
+    b_center = b_center.at[:, 2].set(jnp.where(refl, -zc + 2.0 * z_shift, zc))
+    mirrored = jnp.where(
+        refl[:, None],
+        b_quat * jnp.array([1.0, -1.0, -1.0, 1.0], jnp.float32),
+        b_quat,
+    )
+    b_quat = mirrored
+
+    # --- xy periodic wrap by cluster mean reference point (main.cpp:597-605,
+    #     709-718, 1028-1029) ---
+    refpt = jnp.concatenate([a_xy, b_center[:, :2]], axis=0)       # [n, 2]
+    size_per_label = jax.ops.segment_max(info.size, label, num_segments=n)
+    mean = jax.ops.segment_sum(refpt, label, num_segments=n) / jnp.maximum(
+        size_per_label, 1
+    )[:, None]
+    shift = jnp.stack(
+        [lx * jnp.round(mean[:, 0] / lx), ly * jnp.round(mean[:, 1] / ly)], axis=-1
+    )                                                              # per label
+    a_xy = a_xy - shift[label[:na]]
+    b_center = b_center.at[:, :2].add(-shift[label[na:]])
+
+    # --- cluster rotation about COM (main.cpp:609-635, 724-766, 1087-1128) ---
+    rot_scale = jnp.sqrt(rot_d * dt)
+    psai = (2.0 * u[label, 3] - 1.0) * rot_scale
+    theta = (2.0 * u[label, 4] - 1.0) * rot_scale * free_b
+    phi = (2.0 * u[label, 5] - 1.0) * rot_scale * free_b
+
+    centers = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [a_xy, jnp.full((na, 1), 3.0 * cfg.rb_a_radius, jnp.float32)],
+                axis=1,
+            ),
+            b_center,
+        ],
+        axis=0,
+    )                                                              # [n, 3]
+    com = jax.ops.segment_sum(centers, label, num_segments=n) / jnp.maximum(
+        size_per_label, 1
+    )[:, None]                                                     # per label
+    rot = quat_to_mat(quat_from_euler(theta, phi, psai))           # [n, 3, 3]
+    q_delta = quat_from_euler(theta, phi, psai)
+
+    com_m = com[label]                                             # per molecule
+    rot_m = rot[label]
+    new_centers = (
+        jnp.einsum("nij,nj->ni", rot_m, centers - com_m) + com_m
+    )
+    a_xy = new_centers[:na, :2]
+    a_psi = state.a_psi + psai[:na]
+    b_center = new_centers[na:]
+    b_quat = quat_mul(q_delta[na:], b_quat)
+
+    prop = state._replace(a_xy=a_xy, a_psi=a_psi, b_center=b_center, b_quat=b_quat)
+
+    # --- collision resolution (C15) ---
+    p = positions(prop, cfg)
+    c = positions(state, cfg)
+    rej = cluster_reject(p, p, label, cfg) | cluster_reject(p, c, label, cfg)
+    ok = (~rej[label]) & moving                                    # per molecule
+
+    sel2 = ok[:na, None]
+    return state._replace(
+        a_xy=jnp.where(sel2, prop.a_xy, state.a_xy),
+        a_psi=jnp.where(ok[:na], prop.a_psi, state.a_psi),
+        b_center=jnp.where(ok[na:, None], prop.b_center, state.b_center),
+        b_quat=jnp.where(ok[na:, None], prop.b_quat, state.b_quat),
+    )

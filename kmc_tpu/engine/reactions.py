@@ -1,0 +1,233 @@
+"""Stochastic reaction engine (components C16-C18 of SURVEY.md §2).
+
+The reference fires six channels with sequential O(N^2) pair scans
+(main.cpp:1874-2141); within a step, later channels see earlier channels'
+topology writes.  The TPU design evaluates each channel as a dense gated
+tensor — eligibility masks x geometric gates x Bernoulli draws — and
+resolves write conflicts (one receptor matching several sites, or vice
+versa) by mutual-argmax matching on random priorities, a distribution-
+preserving replacement for the reference's scan-order tie-breaking.
+Channels apply sequentially in reference order, so cross-channel visibility
+is preserved (e.g. a trans bond formed this step excludes its receptor from
+mono-cis and enables complex-cis, main.cpp:1955-1958 vs :2012).
+
+Channel summary (rates in ns^-1, main.cpp:80-99):
+  trans assoc  A+B  site dist < 18 A, |theta_pd| < 45, |theta_ot-180| < 90,
+               p = 0.04*dt                      (:1877-1949)
+  mono-cis     A+A  both trans-free, dist < 15, |theta_ot-180| < 10,
+               p = 4.7e-5*dt, each unordered pair tested twice (:1952-2003)
+  complex-cis  A+A  >=1 trans-bound, same gates, p = 9.6e-4*dt (:2007-2058)
+  trans dissoc       p = 3.48e-13*dt            (:2063-2092)
+  mono-cis dissoc    p = 1.12e-13*dt, tested once per bond member (:2097-2117)
+  complex-cis dissoc p = 1.12e-13*dt            (:2120-2141)
+
+The mono/complex cis distinction is purely a function of current trans
+status (both free vs >=1 bound) — the reference's counter reclassification
+corner cases (:1934-1939, :2083-2088) maintain exactly this invariant, so
+no per-bond labels are stored (see observables.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from kmc_tpu import rng
+from kmc_tpu.config import SimConfig
+from kmc_tpu.geometry import angle_between_deg
+from kmc_tpu.state import SimState, positions
+
+
+def _mutual_match_bipartite(cand, score, rounds):
+    """Resolve a bipartite candidate matrix cand[i, s] (s = flattened site)
+    to a matching where each row and column commits at most once.
+    Returns bool[i, s] of committed pairs."""
+    ni, ns = cand.shape
+    committed = jnp.zeros_like(cand)
+
+    def body(_, carry):
+        committed, avail_r, avail_c = carry
+        c = cand & avail_r[:, None] & avail_c[None, :]
+        s = jnp.where(c, score, -jnp.inf)
+        best_c = s == jnp.max(s, axis=1, keepdims=True)      # row's favorite
+        best_r = s == jnp.max(s, axis=0, keepdims=True)      # col's favorite
+        m = c & best_c & best_r
+        committed = committed | m
+        avail_r = avail_r & ~jnp.any(m, axis=1)
+        avail_c = avail_c & ~jnp.any(m, axis=0)
+        return committed, avail_r, avail_c
+
+    committed, _, _ = jax.lax.fori_loop(
+        0,
+        rounds,
+        body,
+        (committed, jnp.ones((ni,), bool), jnp.ones((ns,), bool)),
+    )
+    return committed
+
+
+def _mutual_match_symmetric(cand, score, rounds):
+    """Resolve a symmetric candidate matrix cand[i, j] (i != j) to a set of
+    disjoint pairs.  score must be symmetric.  Returns bool[i, j]."""
+    ni = cand.shape[0]
+    committed = jnp.zeros_like(cand)
+
+    def body(_, carry):
+        committed, avail = carry
+        c = cand & avail[:, None] & avail[None, :]
+        s = jnp.where(c, score, -jnp.inf)
+        best = s == jnp.max(s, axis=1, keepdims=True)
+        m = c & best & best.T
+        committed = committed | m
+        avail = avail & ~jnp.any(m, axis=1)
+        return committed, avail
+
+    committed, _ = jax.lax.fori_loop(
+        0, rounds, body, (committed, jnp.ones((ni,), bool))
+    )
+    return committed
+
+
+def _cis_geometry(p, cfg: SimConfig):
+    """Distance + orientation gates shared by both cis channels
+    (main.cpp:1960-1981)."""
+    na = cfg.n_a
+    cis_site = p[:na, 2, 2, :]
+    center2 = p[:na, 2, 0, :]
+    diff = cis_site[None, :, :] - cis_site[:, None, :]
+    dist = jnp.linalg.norm(diff, axis=-1)
+    v = center2 - cis_site                                  # [na, 3]
+    theta = angle_between_deg(v[:, None, :], v[None, :, :])
+    geom = (dist < cfg.cis_dist_cutoff) & (
+        jnp.abs(theta - 180.0) < cfg.cis_thetaot_cutoff
+    )
+    ii = jnp.arange(na)
+    return geom & (ii[:, None] != ii[None, :])
+
+
+def _cis_channel(a_cis, geom, elig_extra, prob, key, cfg: SimConfig):
+    """One cis association channel; elig_extra[i, j] encodes the mono/complex
+    trans-status condition.  Each unordered pair is tested twice (the
+    reference scans ordered pairs, main.cpp:1952-1953)."""
+    na = cfg.n_a
+    free_cis = a_cis < 0
+    elig = geom & free_cis[:, None] & free_cis[None, :] & elig_extra
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, (na, na))
+    fire = (u < prob) | (u.T < prob)                        # two draws per pair
+    cand = elig & elig.T & fire
+    score = jax.random.uniform(k2, (na, na))
+    score = jnp.minimum(score, score.T)                     # symmetric priority
+    m = _mutual_match_symmetric(cand, score, cfg.match_rounds)
+    partner = jnp.where(jnp.any(m, axis=1), jnp.argmax(m, axis=1), -1)
+    a_cis = jnp.where(partner >= 0, partner, a_cis)
+    return a_cis
+
+
+def react(state: SimState, skey, cfg: SimConfig) -> SimState:
+    na, nb = cfg.n_a, cfg.n_b
+    p = positions(state, cfg)
+
+    a_trans, a_site, a_cis = state.a_trans, state.a_site, state.a_cis
+    b_partner = state.b_partner
+
+    # ================= trans association (C16) =================
+    k = rng.stream_key(skey, rng.STREAM_REACT_TRANS)
+    k1, k2 = jax.random.split(k)
+
+    a_tsite = p[:na, 2, 1, :]                 # A trans site  [i][3][2]
+    a_c2 = p[:na, 2, 0, :]                    # A bead-2 center
+    a_orient = p[:na, 2, 3, :]                # A +z marker   [i][3][4]
+    b_sites = p[na:, 1:, 1, :]                # [nb, 3, 3]
+    b_beads = p[na:, 1:, 0, :]
+    b_ctr = p[na:, 0, 0, :]
+    b_up = p[na:, 0, 1, :]
+
+    diff = b_sites[None, :, :, :] - a_tsite[:, None, None, :]
+    dist = jnp.linalg.norm(diff, axis=-1)                   # [na, nb, 3]
+    v_a = a_c2 - a_tsite                                    # [na, 3]
+    v_b = b_beads - b_sites                                 # [nb, 3, 3]
+    th_ot = angle_between_deg(v_a[:, None, None, :], v_b[None, :, :, :])
+    w_a = a_c2 - a_orient                                   # [na, 3] = (0,0,-R)
+    w_b = b_ctr - b_up                                      # [nb, 3]
+    th_pd = angle_between_deg(w_a[:, None, :], w_b[None, :, :])  # [na, nb]
+
+    gate = (
+        (dist < cfg.bond_dist_cutoff)
+        & (jnp.abs(th_ot - 180.0) < cfg.bond_thetaot_cutoff)
+        & (jnp.abs(th_pd)[:, :, None] < cfg.bond_thetapd_cutoff)
+    )
+    elig = gate & (a_trans < 0)[:, None, None] & (b_partner < 0)[None, :, :]
+    fire = jax.random.uniform(k1, (na, nb, 3)) < cfg.p_trans_ass
+    cand = (elig & fire).reshape(na, nb * 3)
+    score = jax.random.uniform(k2, (na, nb * 3))
+    m = _mutual_match_bipartite(cand, score, cfg.match_rounds)   # [na, nb*3]
+
+    hit_a = jnp.any(m, axis=1)
+    flat = jnp.argmax(m, axis=1)
+    new_b = flat // 3
+    new_s = flat % 3
+    a_trans = jnp.where(hit_a, na + new_b, a_trans)
+    a_site = jnp.where(hit_a, new_s + 1, a_site)
+    m3 = m.reshape(na, nb, 3)
+    hit_site = jnp.any(m3, axis=0)                               # [nb, 3]
+    which_a = jnp.argmax(m3, axis=0)
+    b_partner = jnp.where(hit_site, which_a, b_partner)
+
+    # ================= cis associations (C17) =================
+    geom = _cis_geometry(p, cfg)
+    trans_free = a_trans < 0
+
+    k = rng.stream_key(skey, rng.STREAM_REACT_MONO_CIS)
+    a_cis = _cis_channel(
+        a_cis,
+        geom,
+        trans_free[:, None] & trans_free[None, :],
+        cfg.p_mono_cis_ass,
+        k,
+        cfg,
+    )
+
+    k = rng.stream_key(skey, rng.STREAM_REACT_CIS)
+    a_cis = _cis_channel(
+        a_cis,
+        geom,
+        ~(trans_free[:, None] & trans_free[None, :]),
+        cfg.p_cis_ass,
+        k,
+        cfg,
+    )
+
+    # ================= trans dissociation (C18) =================
+    k = rng.stream_key(skey, rng.STREAM_DISS_TRANS)
+    u = jax.random.uniform(k, (na,))
+    unbind = (a_trans >= 0) & (u < cfg.p_trans_diss)
+    # clear B side: scatter over (b, site)
+    bidx = jnp.clip(a_trans - na, 0, nb - 1)
+    sidx = jnp.clip(a_site - 1, 0, 2)
+    clear = jnp.zeros((nb, 3), bool).at[bidx, sidx].max(unbind)
+    b_partner = jnp.where(clear, -1, b_partner)
+    a_trans = jnp.where(unbind, -1, a_trans)
+    a_site = jnp.where(unbind, -1, a_site)
+
+    # ================= cis dissociations =================
+    trans_free = a_trans < 0
+    has_cis = a_cis >= 0
+    partner = jnp.clip(a_cis, 0, na - 1)
+    both_free = trans_free & trans_free[partner]
+
+    def cis_unbind(key, prob, member_mask):
+        u = jax.random.uniform(key, (na,))
+        fire = has_cis & member_mask & (u < prob)
+        brk = fire | fire[partner]                          # either member fires
+        return brk
+
+    k = rng.stream_key(skey, rng.STREAM_DISS_MONO_CIS)
+    brk = cis_unbind(k, cfg.p_mono_cis_diss, both_free)
+    k = rng.stream_key(skey, rng.STREAM_DISS_CIS)
+    brk = brk | cis_unbind(k, cfg.p_cis_diss, has_cis & ~both_free)
+    a_cis = jnp.where(brk, -1, a_cis)
+
+    return state._replace(
+        a_trans=a_trans, a_site=a_site, a_cis=a_cis, b_partner=b_partner
+    )
