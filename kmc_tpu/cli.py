@@ -1,0 +1,112 @@
+"""Command-line driver.
+
+The reference has no CLI at all — parameters are compile-time constants and
+the binary is run in a working directory (SURVEY.md §1 "no CLI layer").
+This driver adds the missing layer: config from JSON + ``--set key=value``
+overrides, output directory, resume (auto-detected from ``position.cpt`` in
+the output directory, exactly like the reference's startup probe,
+main.cpp:226-270, or from a native checkpoint).
+
+Example::
+
+    python -m kmc_tpu.cli --steps 100000 --out runs/ref \
+        --set n_a=150 --set n_b=50 --seed 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from kmc_tpu.config import SimConfig
+
+
+def parse_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def coerce(cfg_dict, overrides):
+    for k, v in overrides.items():
+        if k not in cfg_dict:
+            raise SystemExit(f"unknown config key: {k}")
+        cur = cfg_dict[k]
+        if isinstance(cur, bool):
+            cfg_dict[k] = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            cfg_dict[k] = int(v)
+        elif isinstance(cur, float):
+            cfg_dict[k] = float(v)
+        else:
+            cfg_dict[k] = v
+    return cfg_dict
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="kmc_tpu", description=__doc__)
+    ap.add_argument("--config", help="JSON config file", default=None)
+    ap.add_argument("--set", dest="sets", action="append",
+                    help="override: key=value", default=[])
+    ap.add_argument("--steps", type=int, default=None,
+                    help="number of MC steps (default: cfg.simu_step)")
+    ap.add_argument("--out", default="out", help="output directory")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", choices=["auto", "native", "reference", "none"],
+                    default="auto")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = SimConfig.from_json(args.config) if args.config else SimConfig()
+    cfg = SimConfig.from_dict(coerce(cfg.to_dict(), parse_overrides(args.sets)))
+
+    from kmc_tpu.engine.step import run
+    from kmc_tpu.io.checkpoint import load_native, load_reference_cpt
+    from kmc_tpu.io.writers import OutputSet
+    from kmc_tpu.state import init_state
+
+    native = os.path.join(args.out, "checkpoint.npz")
+    ref_cpt = os.path.join(args.out, "position.cpt")
+    state = None
+    if args.resume in ("auto", "native") and os.path.exists(native):
+        state = load_native(native)
+        print(f"resuming from {native} at step {int(state.step)}")
+    elif args.resume in ("auto", "reference") and os.path.exists(ref_cpt):
+        state = load_reference_cpt(ref_cpt, cfg, args.seed)
+        print(f"resuming from {ref_cpt} at step {int(state.step)}")
+    fresh = state is None
+    if fresh:
+        state = init_state(cfg, args.seed)
+
+    outputs = OutputSet(args.out, cfg, fresh=fresh)
+    n_steps = args.steps if args.steps is not None else cfg.simu_step
+    t0 = time.perf_counter()
+    done = [0]
+
+    def on_output(st, obs):
+        from kmc_tpu.io.checkpoint import save_native
+
+        outputs(st, obs)
+        save_native(native, st)
+        done[0] += cfg.out_every
+        if not args.quiet:
+            dt = time.perf_counter() - t0
+            rate = done[0] / max(dt, 1e-9)
+            print(
+                f"step {int(st.step) - 1}  t={float(obs.time_ns):.0f}ns  "
+                f"bonds={int(obs.bond_num)}  rate={rate:,.0f} steps/s",
+                file=sys.stderr,
+            )
+
+    state = run(state, cfg, n_steps=n_steps, on_output=on_output)
+    if not args.quiet:
+        print(f"done at step {int(state.step) - 1}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

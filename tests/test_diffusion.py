@@ -1,0 +1,160 @@
+"""Tests for the diffusion engine (C9-C12, C15): displacement statistics,
+boundaries, collision rejection, mobility classes."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from kmc_tpu import rng
+from kmc_tpu.engine.clusters import cluster_labels
+from kmc_tpu.engine.diffusion import collide_matrix, diffuse, mobility
+from kmc_tpu.state import positions
+from kmc_tpu.utils.checks import assert_invariants
+
+from helpers import ideal_cis_pair, ideal_trans_pair, spread_state
+
+
+def _diffuse_steps(st, cfg, n, start=0):
+    f = jax.jit(diffuse, static_argnums=3)
+    for s in range(start, start + n):
+        info = cluster_labels(st, cfg)
+        skey = rng.stream_key(rng.step_key(st.key, s), rng.STREAM_MOVE)
+        st = f(st, info, skey, cfg)
+    return st
+
+
+def test_free_receptor_msd(small_cfg):
+    """Per-step displacement is 2*sqrt(D dt/6)*U at uniform angle
+    (main.cpp:585-595): E[dr^2] = (4 D dt / 6) / 3 = 2 D dt / 9."""
+    cfg = small_cfg.replace(n_b=1)              # nearly pure receptors
+    st = spread_state(cfg, 0)
+    n_steps = 120
+    xy0 = np.asarray(st.a_xy)
+    st = _diffuse_steps(st, cfg, n_steps)
+    xy1 = np.asarray(st.a_xy)
+    # no wrap events expected for these step sizes away from the boundary;
+    # exclude molecules that wrapped
+    d = xy1 - xy0
+    keep = np.all(np.abs(d) < cfg.cell_range_x / 4, axis=1)
+    msd = np.mean(np.sum(d[keep] ** 2, axis=1)) / n_steps
+    want = 2 * cfg.rb_a_d * cfg.time_step / 9
+    # acceptance is ~1 at this density; tolerate 35% statistical error
+    assert abs(msd - want) / want < 0.35, (msd, want)
+
+
+def test_free_ligand_msd_3d(small_cfg):
+    cfg = small_cfg.replace(n_a=2, cell_range_z=100000.0)  # no z boundary
+    st = spread_state(cfg, 0)
+    n_steps = 100
+    c0 = np.asarray(st.b_center)
+    st = _diffuse_steps(st, cfg, n_steps)
+    c1 = np.asarray(st.b_center)
+    d = c1 - c0
+    keep = np.all(np.abs(d) < cfg.cell_range_x / 4, axis=1)
+    msd = np.mean(np.sum(d[keep] ** 2, axis=1)) / n_steps
+    want = 2 * cfg.rb_b_d * cfg.time_step / 9
+    assert abs(msd - want) / want < 0.35, (msd, want)
+
+
+def test_ligand_stays_in_z(small_cfg):
+    cfg = small_cfg
+    st = spread_state(cfg, 0)
+    st = _diffuse_steps(st, cfg, 200)
+    z = np.asarray(st.b_center[:, 2])
+    assert np.all((z >= 0) & (z <= cfg.cell_range_z))
+
+
+def test_receptors_stay_wrapped(small_cfg):
+    cfg = small_cfg
+    st = spread_state(cfg, 0)
+    st = _diffuse_steps(st, cfg, 200)
+    xy = np.asarray(st.a_xy)
+    assert np.all(np.abs(xy[:, 0]) <= cfg.cell_range_x / 2 + 1e-3)
+    assert np.all(np.abs(xy[:, 1]) <= cfg.cell_range_y / 2 + 1e-3)
+
+
+def test_no_overlap_after_many_steps(small_cfg):
+    # dense box to provoke collisions
+    cfg = small_cfg.replace(cell_range_x=700.0, cell_range_y=700.0,
+                            cell_range_z=400.0)
+    st = spread_state(cfg, 1)
+    st = _diffuse_steps(st, cfg, 100)
+    assert_invariants(st, cfg, "after dense diffusion")
+
+
+def test_frozen_complex_does_not_move(small_cfg):
+    """>=2-ligand complexes are immobile (main.cpp:984-985)."""
+    cfg = small_cfg
+    st = spread_state(cfg, 0)
+    # build the 4-member complex of test_align (2 ligands)
+    st = ideal_trans_pair(st, a=0, b=0, site=1, cfg=cfg, bond=True)
+    st = ideal_trans_pair(st, a=1, b=1, site=1, cfg=cfg, bond=True,
+                          center_xy=(150.0, 0.0), alpha=2.0)
+    st = st._replace(a_cis=st.a_cis.at[0].set(1).at[1].set(0))
+    before = np.asarray(st.b_center[:2])
+    st2 = _diffuse_steps(st, cfg, 20)
+    np.testing.assert_array_equal(np.asarray(st2.b_center[:2]), before)
+    np.testing.assert_array_equal(np.asarray(st2.a_xy[:2]),
+                                  np.asarray(st.a_xy[:2]))
+
+
+def test_one_ligand_complex_moves_rigidly(small_cfg):
+    cfg = small_cfg
+    st = spread_state(cfg, 0)
+    st = ideal_trans_pair(st, a=0, b=0, site=1, cfg=cfg, bond=True)
+    p0 = np.asarray(positions(st, cfg))
+    rel0 = p0[0, 2, 1] - p0[cfg.n_a, 1, 1]       # A site relative to B site
+    st2 = _diffuse_steps(st, cfg, 30)
+    p1 = np.asarray(positions(st2, cfg))
+    moved = np.linalg.norm(p1[cfg.n_a, 0, 0, :2] - p0[cfg.n_a, 0, 0, :2])
+    assert moved > 1.0                            # it diffuses (bond_D = 0.5)
+    rel1 = p1[0, 2, 1] - p1[cfg.n_a, 1, 1]
+    np.testing.assert_allclose(np.linalg.norm(rel1), np.linalg.norm(rel0),
+                               atol=1e-2)         # rigidly
+
+
+def test_cis_pair_moves_together(small_cfg):
+    cfg = small_cfg
+    st = ideal_cis_pair(spread_state(cfg, 0), 0, 1, cfg, bond=True)
+    p0 = np.asarray(positions(st, cfg))
+    gap0 = np.linalg.norm(p0[0, 2, 2, :2] - p0[1, 2, 2, :2])
+    st2 = _diffuse_steps(st, cfg, 30)
+    p1 = np.asarray(positions(st2, cfg))
+    gap1 = np.linalg.norm(p1[0, 2, 2, :2] - p1[1, 2, 2, :2])
+    assert abs(gap1 - gap0) < 1e-2
+    moved = np.linalg.norm(np.asarray(st2.a_xy[0]) - np.asarray(st.a_xy[0]))
+    assert moved > 0.5
+
+
+def test_collide_matrix_symmetry_and_radii(small_cfg):
+    cfg = small_cfg
+    st = spread_state(cfg, 0)
+    p = positions(st, cfg)
+    m = np.asarray(collide_matrix(p, p, cfg))
+    assert np.array_equal(m, m.T)
+    assert np.all(np.diag(m))                     # self always "overlaps"
+    # two receptors placed 39 apart -> overlap; 41 apart -> no overlap
+    st2 = st._replace(a_xy=st.a_xy.at[0].set(jnp.asarray([0.0, 0.0]))
+                      .at[1].set(jnp.asarray([39.0, 0.0])))
+    m2 = np.asarray(collide_matrix(positions(st2, cfg), positions(st2, cfg), cfg))
+    assert m2[0, 1]
+    st3 = st2._replace(a_xy=st2.a_xy.at[1].set(jnp.asarray([41.0, 0.0])))
+    m3 = np.asarray(collide_matrix(positions(st3, cfg), positions(st3, cfg), cfg))
+    assert not m3[0, 1]
+
+
+def test_mobility_classes(small_cfg):
+    cfg = small_cfg
+    st = spread_state(cfg, 0)
+    st = ideal_trans_pair(st, a=0, b=0, site=1, cfg=cfg, bond=True)
+    st = ideal_cis_pair(st, 5, 6, cfg, xy=(300.0, 300.0), bond=True)
+    info = cluster_labels(st, cfg)
+    d, rot, free_b = mobility(info, cfg)
+    d = np.asarray(d)
+    na = cfg.n_a
+    assert d[0] == cfg.bond_d and d[na] == cfg.bond_d   # 1-ligand complex
+    assert d[5] == cfg.cis_d and d[6] == cfg.cis_d      # lone cis pair
+    assert d[7] == cfg.rb_a_d                           # free receptor
+    assert d[na + 1] == cfg.rb_b_d                      # free ligand
+    assert not bool(free_b[0]) and bool(free_b[na + 1])

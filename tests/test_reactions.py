@@ -1,0 +1,138 @@
+"""Tests for the reaction engine (C16-C18) using hand-built geometries."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from kmc_tpu import rng
+from kmc_tpu.engine.reactions import react
+from kmc_tpu.utils.checks import assert_invariants
+
+from helpers import ideal_cis_pair, ideal_trans_pair, spread_state
+
+
+def _react(st, cfg, step=123):
+    skey = rng.step_key(st.key, step)
+    return jax.jit(react, static_argnums=2)(st, skey, cfg)
+
+
+def test_trans_association_fires(small_cfg):
+    cfg = small_cfg.replace(ass_rate=1.0)        # p = 1 per eligible pair
+    st = spread_state(cfg, 0)
+    st = ideal_trans_pair(st, a=0, b=0, site=1, cfg=cfg)
+    out = _react(st, cfg)
+    na = cfg.n_a
+    assert int(out.a_trans[0]) == na
+    assert int(out.a_site[0]) == 1
+    assert int(out.b_partner[0, 0]) == 0
+    assert_invariants(out, cfg, "after trans assoc")
+
+
+def test_trans_association_respects_gates(small_cfg):
+    cfg = small_cfg.replace(ass_rate=1.0)
+    st = spread_state(cfg, 0)
+    # receptor rotated 180 deg: its trans site faces AWAY -> theta_ot fails
+    st = ideal_trans_pair(st, a=0, b=0, site=1, cfg=cfg)
+    st = st._replace(a_psi=st.a_psi.at[0].add(jnp.pi))
+    out = _react(st, cfg)
+    assert int(out.a_trans[0]) == -1
+
+
+def test_trans_association_zero_rate(small_cfg):
+    cfg = small_cfg.replace(ass_rate=0.0)
+    st = ideal_trans_pair(spread_state(cfg, 0), a=0, b=0, site=1, cfg=cfg)
+    out = _react(st, cfg)
+    assert int(out.a_trans[0]) == -1
+
+
+def test_trans_conflict_single_winner(small_cfg):
+    """Two receptors in ideal geometry behind the same site: exactly one wins."""
+    cfg = small_cfg.replace(ass_rate=1.0)
+    st = spread_state(cfg, 0)
+    st = ideal_trans_pair(st, a=0, b=0, site=1, cfg=cfg)
+    # stack receptor 1 at the same ideal pose as receptor 0 (overlapping is
+    # fine for the reaction stage; collision is diffusion's job)
+    st = st._replace(
+        a_xy=st.a_xy.at[1].set(st.a_xy[0]), a_psi=st.a_psi.at[1].set(st.a_psi[0])
+    )
+    out = _react(st, cfg)
+    winners = [i for i in range(2) if int(out.a_trans[i]) >= 0]
+    assert len(winners) == 1
+    assert int(out.b_partner[0, 0]) == winners[0]
+    from kmc_tpu.utils.checks import topology_mutual
+
+    assert bool(topology_mutual(out, cfg))   # geometry overlap is deliberate
+
+
+def test_mono_cis_association(small_cfg):
+    cfg = small_cfg.replace(mono_cis_ass_rate=1.0)
+    st = ideal_cis_pair(spread_state(cfg, 0), 0, 1, cfg)
+    out = _react(st, cfg)
+    assert int(out.a_cis[0]) == 1 and int(out.a_cis[1]) == 0
+    assert_invariants(out, cfg, "after mono cis")
+
+
+def test_complex_cis_channel_selection(small_cfg):
+    """Trans-bound receptor pairs react through the complex-cis channel only."""
+    cfg = small_cfg.replace(mono_cis_ass_rate=1.0, cis_ass_rate=0.0)
+    st = ideal_cis_pair(spread_state(cfg, 0), 0, 1, cfg)
+    # bind receptor 0 to a ligand -> pair is no longer mono-eligible
+    na = cfg.n_a
+    st = st._replace(
+        a_trans=st.a_trans.at[0].set(na + 3),
+        a_site=st.a_site.at[0].set(2),
+        b_partner=st.b_partner.at[3, 1].set(0),
+    )
+    out = _react(st, cfg)
+    assert int(out.a_cis[0]) == -1            # complex rate is 0
+
+    cfg2 = small_cfg.replace(mono_cis_ass_rate=0.0, cis_ass_rate=1.0)
+    out2 = _react(st, cfg2)
+    assert int(out2.a_cis[0]) == 1            # complex channel fires
+
+
+def test_trans_dissociation(small_cfg):
+    cfg = small_cfg.replace(ass_rate=0.0, diss_rate=1.0)
+    st = ideal_trans_pair(spread_state(cfg, 0), a=0, b=0, site=1, cfg=cfg,
+                          bond=True)
+    out = _react(st, cfg)
+    assert int(out.a_trans[0]) == -1
+    assert int(out.b_partner[0, 0]) == -1
+    assert_invariants(out, cfg, "after trans dissoc")
+
+
+def test_cis_dissociation_channels(small_cfg):
+    # mono bond with mono rate 1 -> breaks
+    cfg = small_cfg.replace(mono_cis_ass_rate=0.0, cis_ass_rate=0.0,
+                            mono_cis_diss_rate=1.0, cis_diss_rate=0.0)
+    st = ideal_cis_pair(spread_state(cfg, 0), 0, 1, cfg, bond=True)
+    out = _react(st, cfg)
+    assert int(out.a_cis[0]) == -1
+
+    # same state but complex rate 1 and mono rate 0 -> survives (both free)
+    cfg2 = small_cfg.replace(mono_cis_ass_rate=0.0, cis_ass_rate=0.0,
+                             mono_cis_diss_rate=0.0, cis_diss_rate=1.0)
+    out2 = _react(st, cfg2)
+    assert int(out2.a_cis[0]) == 1
+
+
+def test_double_scan_probability(small_cfg):
+    """Unordered cis pairs are tested twice per step (main.cpp:1952-1953):
+    empirical accept rate must match 1-(1-p)^2, not p."""
+    p = 0.2
+    cfg = small_cfg.replace(mono_cis_ass_rate=p / cfg_dt(small_cfg),
+                            cis_ass_rate=0.0)
+    st0 = ideal_cis_pair(spread_state(cfg, 0), 0, 1, cfg)
+    hits = 0
+    trials = 400
+    for s in range(trials):
+        out = _react(st0, cfg, step=s)
+        hits += int(out.a_cis[0] == 1)
+    want = 1 - (1 - p) ** 2                    # 0.36
+    got = hits / trials
+    assert abs(got - want) < 0.06, (got, want)
+
+
+def cfg_dt(cfg):
+    return cfg.time_step
