@@ -148,9 +148,16 @@ def append_cluster_log(path: str, state: SimState, cfg: SimConfig) -> None:
 
 
 class OutputSet:
-    """Bundles all periodic writers behind one callback for engine.step.run."""
+    """Bundles all periodic writers behind one callback for engine.step.run.
 
-    def __init__(self, out_dir: str, cfg: SimConfig, fresh: bool = True):
+    With ``use_native`` (default: auto), trajectory frames are formatted by
+    the C++ codec and streamed through a background-thread AsyncWriter
+    (io/native.py), so output never blocks the device dispatch loop — the
+    opposite of the reference's inline iostream stalls (main.cpp:2206-2305).
+    """
+
+    def __init__(self, out_dir: str, cfg: SimConfig, fresh: bool = True,
+                 use_native: bool | None = None):
         self.dir = out_dir
         self.cfg = cfg
         os.makedirs(out_dir, exist_ok=True)
@@ -163,10 +170,35 @@ class OutputSet:
                 open(f, "w").close()
         write_parameter_log(os.path.join(out_dir, "parameter.log"), cfg)
 
+        self._gro_writer = None
+        if use_native is not False:
+            from kmc_tpu.io import native
+
+            if native.available():
+                self._native = native
+                self._gro_writer = native.AsyncWriter(self.gro)
+            elif use_native:
+                raise RuntimeError("native kmcio unavailable")
+
     def __call__(self, state: SimState, obs: Observables) -> None:
         from kmc_tpu.io.checkpoint import save_reference_cpt
 
         append_bond_dat(self.bond, obs)
-        append_gro_frame(self.gro, state, self.cfg)
+        if self._gro_writer is not None:
+            pos = np.asarray(positions(state, self.cfg))
+            t = (int(state.step) - 1) * self.cfg.time_step
+            frame = self._native.format_gro(
+                pos, self.cfg.n_a, self.cfg.n_b, t,
+                (self.cfg.cell_range_x, self.cfg.cell_range_y,
+                 self.cfg.cell_range_z),
+            )
+            self._gro_writer.append(frame)
+        else:
+            append_gro_frame(self.gro, state, self.cfg)
         append_cluster_log(self.cluster, state, self.cfg)
         save_reference_cpt(self.cpt, state, self.cfg)
+
+    def close(self) -> None:
+        if self._gro_writer is not None:
+            self._gro_writer.close()
+            self._gro_writer = None

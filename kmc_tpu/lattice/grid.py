@@ -27,7 +27,7 @@ class LatticeState(NamedTuple):
     grid: jax.Array   # int32[H, W] oligomer size per cell (0 = empty)
     disp: jax.Array   # int32[H, W, 2] accumulated (dy, dx) of the occupant
     step: jax.Array   # i32[]
-    key: jax.Array    # PRNG base key
+    seed: jax.Array   # i32[] stream seed for the per-cell counter hash
 
 
 def init_lattice(cfg: LatticeConfig, seed: int = 0,
@@ -46,7 +46,7 @@ def init_lattice(cfg: LatticeConfig, seed: int = 0,
         grid=grid,
         disp=jnp.zeros((h, w, 2), jnp.int32),
         step=jnp.zeros((), jnp.int32),
-        key=key,
+        seed=jnp.asarray(seed, jnp.int32),
     )
 
 

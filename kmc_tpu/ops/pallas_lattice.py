@@ -1,0 +1,139 @@
+"""Fused Pallas TPU kernel for the lattice diffusion-reaction step.
+
+One kernel invocation performs the whole timestep — uniform generation
+(counter hash on global coordinates), both signed hop passes, merge and
+split — entirely in VMEM, writing the grid exactly once to HBM.  The XLA
+path (lattice/step.py) materializes the three uniform fields and several
+intermediate grids in HBM; for an H x W grid that is ~10 array round-trips
+of HBM traffic per step, which this kernel collapses to one read + one
+write of grid/disp.  Trajectories are BITWISE IDENTICAL to the XLA path:
+both consume the same stateless per-cell hash streams (ops/hashing.py) —
+asserted in tests/test_pallas_lattice.py.
+
+Direction control flow is resolved at trace time: the step's (hop axis,
+reaction direction) pair selects one of 8 statically-shifted kernel
+variants via lax.switch (XLA semantics: no data-dependent control flow
+inside a kernel; pallas_guide.md "Common Pitfalls" #7).
+
+Grid blocks must fit VMEM (<= ~1024 x 1024 int32 per shard); larger
+lattices shard over an ('x','y') mesh first (parallel/halo.py) so each
+device's block stays VMEM-sized — the BASELINE config-5 shape (8192^2 over
+a pod slice).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kmc_tpu.config import LatticeConfig
+from kmc_tpu.lattice.grid import LatticeState
+from kmc_tpu.lattice.step import (
+    SALT_HOP,
+    SALT_MERGE,
+    SALT_SIGN,
+    SALT_SPLIT,
+    _hop_pass,
+    _parity_mask_global,
+    _react_substep,
+    step_controls,
+)
+from kmc_tpu.ops.hashing import cell_uniform
+
+_DIR_TUPLES = ((0, 1), (1, 0), (0, -1), (-1, 0))
+
+
+def _step_core(grid, disp, step, seed, row0, col0, par_off_rct,
+               hop_axis: int, rct_dir: int, cfg: LatticeConfig):
+    """The full step with STATIC directions (shared by all kernel variants)."""
+    h, w = grid.shape
+    fh, fw = cfg.height, cfg.width
+    salt = seed * 16
+
+    u = cell_uniform((h, w), step, salt + SALT_HOP, row0, col0, fh, fw) \
+        / jnp.float32(cfg.hop_prob)
+    u_sgn = cell_uniform((h, w), step, salt + SALT_SIGN, row0, col0, fh, fw)
+
+    attempt = (grid > 0) & (u * jnp.maximum(grid, 1) < 1.0)
+    sgn_pos = u_sgn < 0.5
+    d_pos = (hop_axis, 1 - hop_axis)
+    d_neg = (-hop_axis, hop_axis - 1)
+    moved = jnp.zeros_like(grid, bool)
+    grid, disp, moved = _hop_pass(grid, disp, moved, attempt & sgn_pos, d_pos)
+    grid, disp, moved = _hop_pass(grid, disp, moved, attempt & ~sgn_pos, d_neg)
+
+    u_m = cell_uniform((h, w), step, salt + SALT_MERGE, row0, col0, fh, fw)
+    u_s = cell_uniform((h, w), step, salt + SALT_SPLIT, row0, col0, fh, fw)
+    par_rct = _parity_mask_global(h, w, row0, col0, rct_dir % 2 == 1,
+                                  par_off_rct)
+    grid, disp = _react_substep(grid, disp, u_m, u_s, _DIR_TUPLES[rct_dir],
+                                par_rct, cfg)
+    return grid, disp
+
+
+def _kernel(scal_ref, grid_ref, disp_ref, out_g_ref, out_d_ref,
+            *, hop_axis, rct_dir, cfg):
+    step = scal_ref[0]
+    seed = scal_ref[1]
+    row0 = scal_ref[2]
+    col0 = scal_ref[3]
+    par_off = scal_ref[4]
+    g, d = _step_core(grid_ref[:], disp_ref[:], step, seed, row0, col0,
+                      par_off, hop_axis, rct_dir, cfg)
+    out_g_ref[:] = g
+    out_d_ref[:] = d
+
+
+def _variant(hop_axis, rct_dir, cfg, shape, interpret):
+    h, w = shape
+    return pl.pallas_call(
+        functools.partial(_kernel, hop_axis=hop_axis, rct_dir=rct_dir, cfg=cfg),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            jax.ShapeDtypeStruct((h, w, 2), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )
+
+
+def make_pallas_lattice_step(cfg: LatticeConfig, interpret: bool | None = None):
+    """Jitted fused-kernel step, trajectory-identical to lattice_step."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = (cfg.height, cfg.width)
+
+    @jax.jit
+    def step(state: LatticeState) -> LatticeState:
+        dir_idx, par_off = step_controls(state)
+        hop_axis = dir_idx[0] % 2
+        rct_dir = dir_idx[1]
+        scal = jnp.stack(
+            [state.step, state.seed, jnp.int32(0), jnp.int32(0), par_off[1]]
+        ).astype(jnp.int32)
+
+        branches = []
+        for ha in range(2):
+            for rd in range(4):
+                call = _variant(ha, rd, cfg, shape, interpret)
+                branches.append(
+                    lambda s, g, d, call=call: call(s, g, d)
+                )
+        grid, disp = jax.lax.switch(
+            hop_axis * 4 + rct_dir, branches, scal, state.grid, state.disp
+        )
+        return state._replace(grid=grid, disp=disp, step=state.step + 1)
+
+    return step

@@ -37,8 +37,9 @@ def halo_pad(local, width=1, axis_x="x", axis_y="y"):
     """Pad a local [h, w(, c)] block with ``width``-cell periodic halos
     pulled from the 4 mesh neighbors (corners are not needed by the
     axis-aligned update rule of lattice/step.py).  The two chained substeps
-    of one lattice step each reference distance-1 neighbors, so one step
-    needs width=2 — the ghost-zone sizing rule of SURVEY.md §5."""
+    of one lattice step each reference distance-1 neighbors (2 signed hop
+    passes + merge + split), so one step needs width=4 — the ghost-zone
+    sizing rule of SURVEY.md §5."""
     top = _ring_pull(local[-width:], axis_x, -1)  # neighbor above's last rows
     bot = _ring_pull(local[:width], axis_x, 1)
     body = jnp.concatenate([top, local, bot], axis=0)
@@ -56,55 +57,34 @@ def make_halo_lattice_step(cfg, mesh):
     from generating the uniform fields *outside* shard_map (sharded by
     XLA, counter-based => identical to the single-device values).
     """
-    from kmc_tpu import rng as _rng
     from kmc_tpu.lattice.grid import LatticeState
-    from kmc_tpu.lattice.step import (
-        _DIRS,
-        _hop_substep,
-        _parity_mask,
-        _react_substep,
-    )
+    from kmc_tpu.lattice.step import lattice_step
 
-    h, w = cfg.height, cfg.width
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    lh, lw = cfg.height // nx, cfg.width // ny
 
-    def local_update(grid, disp, u, u_m, u_s, par_hop, par_rct, d_hop, d_rct):
-        gp = halo_pad(grid, 2)
-        dp = halo_pad(disp, 2)
-        up = halo_pad(u, 2)
-        ump = halo_pad(u_m, 2)
-        usp = halo_pad(u_s, 2)
-        php = halo_pad(par_hop, 2)
-        prp = halo_pad(par_rct, 2)
-        g1, d1 = _hop_substep(gp, dp, up, d_hop, php)
-        g2, d2 = _react_substep(g1, d1, ump, usp, d_rct, prp, cfg)
-        return g2[2:-2, 2:-2], d2[2:-2, 2:-2]
+    def local_update(grid, disp, step, seed):
+        # global origin of this shard's padded block: owned origin minus the
+        # halo width; the counter hash + parity work on global coordinates,
+        # so halo cells decide identically to their owners.
+        row0 = jax.lax.axis_index("x") * lh - 4
+        col0 = jax.lax.axis_index("y") * lw - 4
+        padded = LatticeState(
+            grid=halo_pad(grid, 4), disp=halo_pad(disp, 4), step=step, seed=seed
+        )
+        out = lattice_step(padded, cfg, row0=row0, col0=col0)
+        return out.grid[4:-4, 4:-4], out.disp[4:-4, 4:-4]
 
     shmapped = jax.shard_map(
         local_update,
         mesh=mesh,
-        in_specs=(
-            P("x", "y"), P("x", "y", None), P("x", "y"), P("x", "y"),
-            P("x", "y"), P("x", "y"), P("x", "y"), P(), P(),
-        ),
+        in_specs=(P("x", "y"), P("x", "y", None), P(), P()),
         out_specs=(P("x", "y"), P("x", "y", None)),
     )
 
     @jax.jit
     def step(state: LatticeState) -> LatticeState:
-        skey = _rng.stream_key(_rng.step_key(state.key, state.step),
-                               _rng.STREAM_LATTICE)
-        kd, ku, km, ks, kp = jax.random.split(skey, 5)
-        dir_idx = jax.random.randint(kd, (2,), 0, 4)
-        par_off = jax.random.randint(kp, (2,), 0, 2)
-        d_hop = _DIRS[dir_idx[0]]
-        d_rct = _DIRS[dir_idx[1]]
-        par_hop = _parity_mask(h, w, dir_idx[0] % 2 == 1, par_off[0])
-        par_rct = _parity_mask(h, w, dir_idx[1] % 2 == 1, par_off[1])
-        u = jax.random.uniform(ku, (h, w)) / jnp.float32(cfg.hop_prob)
-        u_m = jax.random.uniform(km, (h, w))
-        u_s = jax.random.uniform(ks, (h, w))
-        grid, disp = shmapped(state.grid, state.disp, u, u_m, u_s,
-                              par_hop, par_rct, d_hop, d_rct)
+        grid, disp = shmapped(state.grid, state.disp, state.step, state.seed)
         return state._replace(grid=grid, disp=disp, step=state.step + 1)
 
     return step

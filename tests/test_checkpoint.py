@@ -21,12 +21,12 @@ from helpers import ideal_cis_pair, ideal_trans_pair, spread_state
 
 
 def _evolved_state(cfg, n=30):
+    from kmc_tpu.engine.step import make_chunk_fn
+
     st = spread_state(cfg, 2)
     st = ideal_trans_pair(st, a=0, b=0, site=1, cfg=cfg, bond=True)
     st = ideal_cis_pair(st, 5, 6, cfg, xy=(400.0, -200.0), bond=True)
-    step = make_step_fn(cfg)
-    for _ in range(n):
-        st, _ = step(st)
+    st, _ = make_chunk_fn(cfg, n)(st)
     return st
 
 

@@ -16,12 +16,19 @@ from helpers import ideal_cis_pair, ideal_trans_pair, spread_state
 
 
 def _diffuse_steps(st, cfg, n, start=0):
-    f = jax.jit(diffuse, static_argnums=3)
-    for s in range(start, start + n):
-        info = cluster_labels(st, cfg)
-        skey = rng.stream_key(rng.step_key(st.key, s), rng.STREAM_MOVE)
-        st = f(st, info, skey, cfg)
-    return st
+    """n diffusion-only rounds in one jitted scan (fast on CPU)."""
+
+    @jax.jit
+    def run(st):
+        def body(st, s):
+            info = cluster_labels(st, cfg)
+            skey = rng.stream_key(rng.step_key(st.key, s), rng.STREAM_MOVE)
+            return diffuse(st, info, skey, cfg), None
+
+        st, _ = jax.lax.scan(body, st, jnp.arange(start, start + n))
+        return st
+
+    return run(st)
 
 
 def test_free_receptor_msd(small_cfg):

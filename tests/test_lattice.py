@@ -38,15 +38,15 @@ def test_exact_particle_count():
 
 
 def test_diffusion_only_msd():
-    """Direction-partitioned hopping: a monomer is in the active parity with
-    prob 1/2, so at low density MSD/step ~= hop_prob / 2."""
+    """Signed two-pass hopping: every monomer attempts each step with its
+    own sign, so at low density MSD/step ~= hop_prob * (1 - density)."""
     cfg = LatticeConfig(height=128, width=128, density=0.02, ass_prob=0.0,
                         diss_prob=0.0, hop_prob=0.5)
     st = init_lattice(cfg, seed=2)
     n = 400
     st = make_lattice_chunk(cfg, n)(st)
     got = float(msd(st)) / n
-    want = cfg.hop_prob / 2 * (1 - cfg.density)
+    want = cfg.hop_prob * (1 - cfg.density)
     assert abs(got - want) / want < 0.15, (got, want)
 
 

@@ -23,12 +23,11 @@ def test_invariants_under_load(small_cfg):
         diss_rate=1e-3,
     )
     st = spread_state(cfg, 4)
-    step = make_step_fn(cfg)
+    chunk = make_chunk_fn(cfg, 50)
     saw_bond = saw_rl = False
-    for i in range(300):
-        st, obs = step(st)
-        if i % 50 == 49:
-            assert_invariants(st, cfg, f"at step {i}")
+    for i in range(6):
+        st, obs = chunk(st)
+        assert_invariants(st, cfg, f"at step {int(st.step)}")
         saw_bond = saw_bond or int(obs.bond_num) > 0
         saw_rl = saw_rl or int(obs.bond_rl) > 0
     assert saw_bond, "no bond ever formed in a dense boosted run"
