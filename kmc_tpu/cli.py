@@ -36,14 +36,19 @@ def coerce(cfg_dict, overrides):
         if k not in cfg_dict:
             raise SystemExit(f"unknown config key: {k}")
         cur = cfg_dict[k]
-        if isinstance(cur, bool):
-            cfg_dict[k] = v.lower() in ("1", "true", "yes")
-        elif isinstance(cur, int):
-            cfg_dict[k] = int(v)
-        elif isinstance(cur, float):
-            cfg_dict[k] = float(v)
-        else:
-            cfg_dict[k] = v
+        try:
+            if isinstance(cur, bool):
+                cfg_dict[k] = v.lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                cfg_dict[k] = int(v)
+            elif isinstance(cur, float):
+                cfg_dict[k] = float(v)
+            else:
+                cfg_dict[k] = v
+        except ValueError:
+            raise SystemExit(
+                f"invalid value for {k}: {v!r} (expected {type(cur).__name__})"
+            )
     return cfg_dict
 
 
@@ -56,6 +61,9 @@ def main(argv=None):
                     help="number of MC steps (default: cfg.simu_step)")
     ap.add_argument("--out", default="out", help="output directory")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--replicas", type=int, default=1,
+                    help="trajectory-ensemble size (vmapped; >1 also writes "
+                         "bond_ens.dat with mean/std kinetics)")
     ap.add_argument("--resume", choices=["auto", "native", "reference", "none"],
                     default="auto")
     ap.add_argument("--quiet", action="store_true")
@@ -63,6 +71,9 @@ def main(argv=None):
 
     cfg = SimConfig.from_json(args.config) if args.config else SimConfig()
     cfg = SimConfig.from_dict(coerce(cfg.to_dict(), parse_overrides(args.sets)))
+
+    if args.replicas > 1:
+        return run_ensemble(cfg, args)
 
     from kmc_tpu.engine.step import run
     from kmc_tpu.io.checkpoint import load_native, load_reference_cpt
@@ -103,8 +114,56 @@ def main(argv=None):
             )
 
     state = run(state, cfg, n_steps=n_steps, on_output=on_output)
+    outputs.close()
     if not args.quiet:
         print(f"done at step {int(state.step) - 1}")
+    return 0
+
+
+def run_ensemble(cfg: SimConfig, args) -> int:
+    """Replica-ensemble run (BASELINE config 4): vmapped trajectories on one
+    chip (sharded over ('dp',) when multiple devices are visible), merged
+    kinetics with error bars to bond_ens.dat."""
+    import jax
+
+    from kmc_tpu.io.checkpoint import load_native, save_native
+    from kmc_tpu.io.writers import EnsembleOutputSet
+    from kmc_tpu.parallel.ensemble import init_ensemble, make_ensemble_chunk
+    from kmc_tpu.parallel.mesh import replica_mesh, shard_replicated_state
+
+    native = os.path.join(args.out, "ensemble_checkpoint.npz")
+    state = None
+    if args.resume in ("auto", "native") and os.path.exists(native):
+        state = load_native(native)
+        print(f"resuming ensemble from {native} at step "
+              f"{int(state.step[0])}")
+    fresh = state is None
+    if fresh:
+        state = init_ensemble(cfg, args.replicas, seed=args.seed)
+    if len(jax.devices()) > 1 and args.replicas % len(jax.devices()) == 0:
+        state = shard_replicated_state(state, replica_mesh())
+
+    outputs = EnsembleOutputSet(args.out, cfg, fresh=fresh)
+    chunk = make_ensemble_chunk(cfg, cfg.out_every, donate=True)
+    n_steps = args.steps if args.steps is not None else cfg.simu_step
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_steps:
+        state, obs = chunk(state)
+        done += cfg.out_every
+        outputs(state, obs)
+        save_native(native, state)
+        if not args.quiet:
+            dt = time.perf_counter() - t0
+            rate = done * args.replicas / max(dt, 1e-9)
+            print(
+                f"step {int(state.step[0]) - 1} x{args.replicas}  "
+                f"rate={rate:,.0f} replica-steps/s",
+                file=sys.stderr,
+            )
+    outputs.close()
+    if not args.quiet:
+        print(f"done at step {int(state.step[0]) - 1}")
     return 0
 
 

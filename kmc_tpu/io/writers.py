@@ -202,3 +202,51 @@ class OutputSet:
         if self._gro_writer is not None:
             self._gro_writer.close()
             self._gro_writer = None
+
+
+class EnsembleOutputSet:
+    """Writers for a replica ensemble (BASELINE config 4): merged kinetics
+    with error bars to ``bond_ens.dat`` (time, then mean/std/min/max per
+    counter), plus the full reference-compatible file set for replica 0 so
+    existing tooling keeps working."""
+
+    COLS = ("bond_rl", "bond_mono_cis", "bond_cis", "bond_num",
+            "cluster_size", "max_complex")
+
+    def __init__(self, out_dir: str, cfg: SimConfig, fresh: bool = True):
+        import jax
+
+        self.cfg = cfg
+        os.makedirs(out_dir, exist_ok=True)
+        self.ens = os.path.join(out_dir, "bond_ens.dat")
+        if fresh:
+            with open(self.ens, "w") as f:
+                f.write("# t_ns " + " ".join(
+                    f"{c}_mean {c}_std {c}_min {c}_max" for c in self.COLS
+                ) + "\n")
+        self.rep0 = OutputSet(out_dir, cfg, fresh=fresh)
+        self._take0 = jax.jit(lambda s: jax.tree.map(lambda x: x[0], s))
+
+    def __call__(self, state, obs) -> None:
+        import numpy as np
+
+        row = [f"{float(np.asarray(obs.time_ns)[0]):.3f}"]
+        for c in self.COLS:
+            v = np.asarray(getattr(obs, c)).astype(np.float64)
+            row += [f"{v.mean():.4f}", f"{v.std():.4f}",
+                    f"{v.min():.3f}", f"{v.max():.3f}"]
+        with open(self.ens, "a") as f:
+            f.write(" ".join(row) + "\n")
+
+        st0 = self._take0(state)
+        obs0 = type(obs)(*[jnp_first(x) for x in obs])
+        self.rep0(st0, obs0)
+
+    def close(self) -> None:
+        self.rep0.close()
+
+
+def jnp_first(x):
+    import numpy as np
+
+    return np.asarray(x)[0]
