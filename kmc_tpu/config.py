@@ -71,8 +71,11 @@ class SimConfig:
     cis_thetaot_cutoff: float = 10.0
 
     # ---- TPU-engine knobs (new; no reference equivalent) ----
-    label_prop_iters: int = 8          # pointer-jumping rounds for cluster labels
-    align_depth: int = 16              # max BFS depth idealized per step
+    label_prop_iters: int = 6          # pointer-jumping rounds for cluster labels
+    #   (resolves component diameters up to 2^6 — far beyond physical complexes)
+    align_depth: int = 8               # max BFS depth idealized per step
+    #   (snap chains longer than this finish over subsequent steps; the
+    #   mobility freeze keeps real complexes well inside this bound)
     match_rounds: int = 2              # mutual-argmax rounds in reaction matching
     sin_weighted_theta: bool = False   # reference quirk #3: ligand 3D direction
     #   uses theta = U*pi (pole-oversampled, main.cpp:910). False replicates the

@@ -40,11 +40,12 @@ import jax.numpy as jnp
 
 from kmc_tpu.config import SimConfig
 from kmc_tpu.engine.clusters import ClusterInfo
+from kmc_tpu.engine.params import RuntimeParams, from_config
 from kmc_tpu.geometry import quat_from_euler, quat_mul, quat_to_mat
 from kmc_tpu.state import SimState, positions
 
 
-def mobility(info: ClusterInfo, cfg: SimConfig):
+def mobility(info: ClusterInfo, cfg: SimConfig, rp: RuntimeParams = None):
     """Per-molecule (D_trans, D_rot, is3d) of the molecule's cluster.
 
     Classes (SURVEY §2 C9-C12):
@@ -54,6 +55,7 @@ def mobility(info: ClusterInfo, cfg: SimConfig):
       1-ligand complex   -> (bond_D, bond_rot_D), in-plane
       >=2-ligand complex -> frozen (main.cpp:984-985)
     """
+    rp = rp if rp is not None else from_config(cfg)
     has_b = info.n_b > 0
     free_b = has_b & (info.size == 1)
     one_lig = (info.n_b == 1) & (info.size > 1)
@@ -61,16 +63,16 @@ def mobility(info: ClusterInfo, cfg: SimConfig):
     free_a = ~has_b & (info.size == 1)
     cis_pair = ~has_b & (info.size >= 2)
 
-    d = jnp.where(free_b, cfg.rb_b_d, 0.0)
-    d = jnp.where(one_lig, cfg.bond_d, d)
-    d = jnp.where(free_a, cfg.rb_a_d, d)
-    d = jnp.where(cis_pair, cfg.cis_d, d)
+    d = jnp.where(free_b, rp.rb_b_d, 0.0)
+    d = jnp.where(one_lig, rp.bond_d, d)
+    d = jnp.where(free_a, rp.rb_a_d, d)
+    d = jnp.where(cis_pair, rp.cis_d, d)
     d = jnp.where(frozen, 0.0, d)
 
-    rot = jnp.where(free_b, cfg.rb_b_rot_d, 0.0)
-    rot = jnp.where(one_lig, cfg.bond_rot_d, rot)
-    rot = jnp.where(free_a, cfg.rb_a_rot_d, rot)
-    rot = jnp.where(cis_pair, cfg.cis_rot_d, rot)
+    rot = jnp.where(free_b, rp.rb_b_rot_d, 0.0)
+    rot = jnp.where(one_lig, rp.bond_rot_d, rot)
+    rot = jnp.where(free_a, rp.rb_a_rot_d, rot)
+    rot = jnp.where(cis_pair, rp.cis_rot_d, rot)
     rot = jnp.where(frozen, 0.0, rot)
     return d.astype(jnp.float32), rot.astype(jnp.float32), free_b
 
@@ -116,14 +118,15 @@ def cluster_reject(p, q, label, cfg: SimConfig):
     )
 
 
-def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig) -> SimState:
+def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
+            rp: RuntimeParams = None) -> SimState:
     """One synchronous diffusion round over all clusters."""
     n, na, nb = cfg.n, cfg.n_a, cfg.n_b
     dt = cfg.time_step
     lx, ly, lz = cfg.cell_range_x, cfg.cell_range_y, cfg.cell_range_z
     label = info.label
 
-    d, rot_d, free_b = mobility(info, cfg)
+    d, rot_d, free_b = mobility(info, cfg, rp)
     moving = (d > 0) | (rot_d > 0)
 
     # --- per-cluster draws (rows indexed by cluster label) ---

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from kmc_tpu import rng
 from kmc_tpu.config import SimConfig
+from kmc_tpu.engine.params import RuntimeParams, from_config
 from kmc_tpu.geometry import angle_between_deg
 from kmc_tpu.state import SimState, positions
 
@@ -124,7 +125,9 @@ def _cis_channel(a_cis, geom, elig_extra, prob, key, cfg: SimConfig):
     return a_cis
 
 
-def react(state: SimState, skey, cfg: SimConfig) -> SimState:
+def react(state: SimState, skey, cfg: SimConfig,
+          rp: RuntimeParams = None) -> SimState:
+    rp = rp if rp is not None else from_config(cfg)
     na, nb = cfg.n_a, cfg.n_b
     p = positions(state, cfg)
 
@@ -158,7 +161,7 @@ def react(state: SimState, skey, cfg: SimConfig) -> SimState:
         & (jnp.abs(th_pd)[:, :, None] < cfg.bond_thetapd_cutoff)
     )
     elig = gate & (a_trans < 0)[:, None, None] & (b_partner < 0)[None, :, :]
-    fire = jax.random.uniform(k1, (na, nb, 3)) < cfg.p_trans_ass
+    fire = jax.random.uniform(k1, (na, nb, 3)) < rp.p_trans_ass
     cand = (elig & fire).reshape(na, nb * 3)
     score = jax.random.uniform(k2, (na, nb * 3))
     m = _mutual_match_bipartite(cand, score, cfg.match_rounds)   # [na, nb*3]
@@ -183,7 +186,7 @@ def react(state: SimState, skey, cfg: SimConfig) -> SimState:
         a_cis,
         geom,
         trans_free[:, None] & trans_free[None, :],
-        cfg.p_mono_cis_ass,
+        rp.p_mono_cis_ass,
         k,
         cfg,
     )
@@ -193,7 +196,7 @@ def react(state: SimState, skey, cfg: SimConfig) -> SimState:
         a_cis,
         geom,
         ~(trans_free[:, None] & trans_free[None, :]),
-        cfg.p_cis_ass,
+        rp.p_cis_ass,
         k,
         cfg,
     )
@@ -201,7 +204,7 @@ def react(state: SimState, skey, cfg: SimConfig) -> SimState:
     # ================= trans dissociation (C18) =================
     k = rng.stream_key(skey, rng.STREAM_DISS_TRANS)
     u = jax.random.uniform(k, (na,))
-    unbind = (a_trans >= 0) & (u < cfg.p_trans_diss)
+    unbind = (a_trans >= 0) & (u < rp.p_trans_diss)
     # clear B side: scatter over (b, site)
     bidx = jnp.clip(a_trans - na, 0, nb - 1)
     sidx = jnp.clip(a_site - 1, 0, 2)
@@ -223,9 +226,9 @@ def react(state: SimState, skey, cfg: SimConfig) -> SimState:
         return brk
 
     k = rng.stream_key(skey, rng.STREAM_DISS_MONO_CIS)
-    brk = cis_unbind(k, cfg.p_mono_cis_diss, both_free)
+    brk = cis_unbind(k, rp.p_mono_cis_diss, both_free)
     k = rng.stream_key(skey, rng.STREAM_DISS_CIS)
-    brk = brk | cis_unbind(k, cfg.p_cis_diss, has_cis & ~both_free)
+    brk = brk | cis_unbind(k, rp.p_cis_diss, has_cis & ~both_free)
     a_cis = jnp.where(brk, -1, a_cis)
 
     return state._replace(

@@ -29,17 +29,20 @@ from kmc_tpu.engine.reactions import react
 from kmc_tpu.state import SimState
 
 
-def step_fn(state: SimState, cfg: SimConfig):
-    """One MC timestep: SimState -> (SimState, Observables)."""
+def step_fn(state: SimState, cfg: SimConfig, rp=None):
+    """One MC timestep: SimState -> (SimState, Observables).
+
+    ``rp`` (engine/params.RuntimeParams) optionally overrides the traced
+    physics parameters — vmap over it for heterogeneous parameter sweeps."""
     skey = rng.step_key(state.key, state.step)
     info = cluster_labels(state, cfg)
 
     _, max_b = cluster_stats(info, cfg)
     max_c = jnp.maximum(state.max_complex, max_b)
 
-    st = diffuse(state, info, rng.stream_key(skey, rng.STREAM_MOVE), cfg)
+    st = diffuse(state, info, rng.stream_key(skey, rng.STREAM_MOVE), cfg, rp)
     st = idealize(st, info, rng.stream_key(skey, rng.STREAM_ALIGN), cfg)
-    st = react(st, skey, cfg)
+    st = react(st, skey, cfg, rp)
     st = st._replace(step=state.step + 1, max_complex=max_c)
     return st, observe(st, info, cfg)
 
