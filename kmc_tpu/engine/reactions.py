@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from kmc_tpu import rng
 from kmc_tpu.config import SimConfig
 from kmc_tpu.engine.params import RuntimeParams, from_config
-from kmc_tpu.geometry import angle_between_deg
+from kmc_tpu.geometry import angle_gate_above_deg, angle_gate_below_deg
 from kmc_tpu.state import SimState, positions
 
 
@@ -96,12 +96,12 @@ def _cis_geometry(p, cfg: SimConfig):
     cis_site = p[:na, 2, 2, :]
     center2 = p[:na, 2, 0, :]
     diff = cis_site[None, :, :] - cis_site[:, None, :]
-    dist = jnp.linalg.norm(diff, axis=-1)
+    dist2 = jnp.sum(diff * diff, axis=-1)
     v = center2 - cis_site                                  # [na, 3]
-    theta = angle_between_deg(v[:, None, :], v[None, :, :])
-    geom = (dist < cfg.cis_dist_cutoff) & (
-        jnp.abs(theta - 180.0) < cfg.cis_thetaot_cutoff
-    )
+    # |theta - 180| < cutoff  <=>  theta > 180 - cutoff (cosine-domain gate)
+    ang = angle_gate_above_deg(v[:, None, :], v[None, :, :],
+                               180.0 - cfg.cis_thetaot_cutoff)
+    geom = (dist2 < cfg.cis_dist_cutoff**2) & ang
     ii = jnp.arange(na)
     return geom & (ii[:, None] != ii[None, :])
 
@@ -113,11 +113,12 @@ def _cis_channel(a_cis, geom, elig_extra, prob, key, cfg: SimConfig):
     na = cfg.n_a
     free_cis = a_cis < 0
     elig = geom & free_cis[:, None] & free_cis[None, :] & elig_extra
-    k1, k2 = jax.random.split(key)
-    u = jax.random.uniform(k1, (na, na))
+    u = jax.random.uniform(key, (na, na))
     fire = (u < prob) | (u.T < prob)                        # two draws per pair
     cand = elig & elig.T & fire
-    score = jax.random.uniform(k2, (na, na))
+    # tie-break priority decorrelated from the fire bits by bit-mixing the
+    # same uniforms (priority only orders already-accepted candidates)
+    score = (u * 7919.0) % 1.0
     score = jnp.minimum(score, score.T)                     # symmetric priority
     m = _mutual_match_symmetric(cand, score, cfg.match_rounds)
     partner = jnp.where(jnp.any(m, axis=1), jnp.argmax(m, axis=1), -1)
@@ -147,18 +148,22 @@ def react(state: SimState, skey, cfg: SimConfig,
     b_up = p[na:, 0, 1, :]
 
     diff = b_sites[None, :, :, :] - a_tsite[:, None, None, :]
-    dist = jnp.linalg.norm(diff, axis=-1)                   # [na, nb, 3]
+    dist2 = jnp.sum(diff * diff, axis=-1)                   # [na, nb, 3]
     v_a = a_c2 - a_tsite                                    # [na, 3]
     v_b = b_beads - b_sites                                 # [nb, 3, 3]
-    th_ot = angle_between_deg(v_a[:, None, None, :], v_b[None, :, :, :])
+    # |theta_ot - 180| < cutoff  <=>  theta_ot > 180 - cutoff; |theta_pd| <
+    # cutoff as-is (main.cpp:1915 conventions, in cosine domain)
+    g_ot = angle_gate_above_deg(v_a[:, None, None, :], v_b[None, :, :, :],
+                                180.0 - cfg.bond_thetaot_cutoff)
     w_a = a_c2 - a_orient                                   # [na, 3] = (0,0,-R)
     w_b = b_ctr - b_up                                      # [nb, 3]
-    th_pd = angle_between_deg(w_a[:, None, :], w_b[None, :, :])  # [na, nb]
+    g_pd = angle_gate_below_deg(w_a[:, None, :], w_b[None, :, :],
+                                cfg.bond_thetapd_cutoff)    # [na, nb]
 
     gate = (
-        (dist < cfg.bond_dist_cutoff)
-        & (jnp.abs(th_ot - 180.0) < cfg.bond_thetaot_cutoff)
-        & (jnp.abs(th_pd)[:, :, None] < cfg.bond_thetapd_cutoff)
+        (dist2 < cfg.bond_dist_cutoff**2)
+        & g_ot
+        & g_pd[:, :, None]
     )
     elig = gate & (a_trans < 0)[:, None, None] & (b_partner < 0)[None, :, :]
     fire = jax.random.uniform(k1, (na, nb, 3)) < rp.p_trans_ass

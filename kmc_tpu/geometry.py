@@ -12,6 +12,8 @@ match the reference's gate conventions (main.cpp:1915, 1981).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 # The reference uses pai = 3.1415926 for sampling (main.cpp:71) and
@@ -79,6 +81,26 @@ def angle_between_deg(u, v, eps=1e-12):
     c = jnp.sum(u * v, axis=-1) / jnp.maximum(nu * nv, eps)
     c = jnp.clip(c, -1.0, 1.0)
     return jnp.degrees(jnp.arccos(c))
+
+
+def angle_gate_above_deg(u, v, thresh_deg):
+    """True where angle(u, v) > thresh_deg — the transcendental-free form of
+    the reference's acos gates: theta > T  <=>  cos(theta) < cos(T)
+    (cos is strictly decreasing on [0, 180]).  One sqrt per pair instead of
+    an arccos; exactly equivalent at the gate boundary up to f32 rounding.
+    """
+    dot = jnp.sum(u * v, axis=-1)
+    n2 = jnp.sum(u * u, axis=-1) * jnp.sum(v * v, axis=-1)
+    c = math.cos(math.radians(thresh_deg))
+    return dot < c * jnp.sqrt(n2)
+
+
+def angle_gate_below_deg(u, v, thresh_deg):
+    """True where angle(u, v) < thresh_deg (same construction)."""
+    dot = jnp.sum(u * v, axis=-1)
+    n2 = jnp.sum(u * u, axis=-1) * jnp.sum(v * v, axis=-1)
+    c = math.cos(math.radians(thresh_deg))
+    return dot > c * jnp.sqrt(n2)
 
 
 def wrap_shift(coord, box):

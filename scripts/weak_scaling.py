@@ -15,10 +15,11 @@ multi-chip slice the same script produces the headline efficiency number.
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -27,8 +28,15 @@ def main():
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--cpu", action="store_true",
-                    help="force the virtual-CPU platform")
+                    help="force an 8-device virtual-CPU platform")
     args = ap.parse_args()
+
+    if args.cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
 
     import jax
 
