@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from kmc_tpu.config import SimConfig
+from kmc_tpu.ops.segment import seg_sum
 from kmc_tpu.state import SimState, neighbors
 
 
@@ -38,23 +39,20 @@ def cluster_labels(state: SimState, cfg: SimConfig) -> ClusterInfo:
     n = cfg.n
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    def body(_, label):
+    label = idx
+    clipped = jnp.clip(nbr, 0)
+    pad = nbr < 0
+    for _ in range(cfg.label_prop_iters):       # unrolled: tiny bodies fuse
         # neighbor-min: gather labels of up to 3 neighbors (self for -1 pads)
-        nls = jnp.where(nbr >= 0, label[jnp.clip(nbr, 0)], label[:, None])
+        nls = jnp.where(pad, label[:, None], label[clipped])
         label = jnp.minimum(label, jnp.min(nls, axis=1))
         # pointer jumping: label <- label[label]
-        return jnp.minimum(label, label[label])
-
-    label = jax.lax.fori_loop(0, cfg.label_prop_iters, body, idx)
+        label = jnp.minimum(label, label[label])
 
     ones = jnp.ones((n,), jnp.int32)
-    size_per_label = jax.ops.segment_sum(ones, label, num_segments=n)
-    a_per_label = jax.ops.segment_sum(
-        (idx < cfg.n_a).astype(jnp.int32), label, num_segments=n
-    )
-    b_per_label = jax.ops.segment_sum(
-        (idx >= cfg.n_a).astype(jnp.int32), label, num_segments=n
-    )
+    size_per_label = seg_sum(ones, label, n)
+    a_per_label = seg_sum((idx < cfg.n_a).astype(jnp.int32), label, n)
+    b_per_label = seg_sum((idx >= cfg.n_a).astype(jnp.int32), label, n)
     return ClusterInfo(
         label=label,
         size=size_per_label[label],

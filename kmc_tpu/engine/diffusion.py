@@ -42,6 +42,7 @@ from kmc_tpu.config import SimConfig
 from kmc_tpu.engine.clusters import ClusterInfo
 from kmc_tpu.engine.params import RuntimeParams, from_config
 from kmc_tpu.geometry import quat_from_euler, quat_mul, quat_to_mat
+from kmc_tpu.ops.segment import seg_max, seg_sum
 from kmc_tpu.state import SimState, positions
 
 
@@ -112,10 +113,7 @@ def cluster_reject(p, q, label, cfg: SimConfig):
     hit = collide_matrix(p, q, cfg)
     cross = label[:, None] != label[None, :]
     mol_hit = jnp.any(hit & cross, axis=1)
-    return (
-        jax.ops.segment_max(mol_hit.astype(jnp.int32), label, num_segments=cfg.n)
-        > 0
-    )
+    return seg_max(mol_hit, label, cfg.n)
 
 
 def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
@@ -166,10 +164,8 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
     # --- xy periodic wrap by cluster mean reference point (main.cpp:597-605,
     #     709-718, 1028-1029) ---
     refpt = jnp.concatenate([a_xy, b_center[:, :2]], axis=0)       # [n, 2]
-    size_per_label = jax.ops.segment_max(info.size, label, num_segments=n)
-    mean = jax.ops.segment_sum(refpt, label, num_segments=n) / jnp.maximum(
-        size_per_label, 1
-    )[:, None]
+    size_per_label = seg_max(info.size, label, n)
+    mean = seg_sum(refpt, label, n) / jnp.maximum(size_per_label, 1)[:, None]
     shift = jnp.stack(
         [lx * jnp.round(mean[:, 0] / lx), ly * jnp.round(mean[:, 1] / ly)], axis=-1
     )                                                              # per label
@@ -192,7 +188,7 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
         ],
         axis=0,
     )                                                              # [n, 3]
-    com = jax.ops.segment_sum(centers, label, num_segments=n) / jnp.maximum(
+    com = seg_sum(centers, label, n) / jnp.maximum(
         size_per_label, 1
     )[:, None]                                                     # per label
     rot = quat_to_mat(quat_from_euler(theta, phi, psai))           # [n, 3, 3]

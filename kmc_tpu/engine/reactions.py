@@ -58,13 +58,10 @@ def _mutual_match_bipartite(cand, score, rounds):
         avail_c = avail_c & ~jnp.any(m, axis=0)
         return committed, avail_r, avail_c
 
-    committed, _, _ = jax.lax.fori_loop(
-        0,
-        rounds,
-        body,
-        (committed, jnp.ones((ni,), bool), jnp.ones((ns,), bool)),
-    )
-    return committed
+    carry = (committed, jnp.ones((ni,), bool), jnp.ones((ns,), bool))
+    for _ in range(rounds):                     # unrolled: tiny bodies fuse
+        carry = body(None, carry)
+    return carry[0]
 
 
 def _mutual_match_symmetric(cand, score, rounds):
@@ -83,10 +80,10 @@ def _mutual_match_symmetric(cand, score, rounds):
         avail = avail & ~jnp.any(m, axis=1)
         return committed, avail
 
-    committed, _ = jax.lax.fori_loop(
-        0, rounds, body, (committed, jnp.ones((ni,), bool))
-    )
-    return committed
+    carry = (committed, jnp.ones((ni,), bool))
+    for _ in range(rounds):                     # unrolled: tiny bodies fuse
+        carry = body(None, carry)
+    return carry[0]
 
 
 def _cis_geometry(p, cfg: SimConfig):
