@@ -24,7 +24,10 @@ C++ translation unit; this framework re-builds every component TPU-first:
 from kmc_tpu.config import SimConfig, LatticeConfig
 from kmc_tpu.state import SimState, init_state
 from kmc_tpu.engine.step import make_step_fn, run
-from kmc_tpu.parallel.ensemble import make_ensemble_step
+from kmc_tpu.engine.params import RuntimeParams
+from kmc_tpu.lattice.grid import LatticeState, init_lattice
+from kmc_tpu.lattice.step import make_lattice_step
+from kmc_tpu.parallel.ensemble import init_ensemble, make_ensemble_step
 
 __version__ = "0.1.0"
 
@@ -32,8 +35,13 @@ __all__ = [
     "SimConfig",
     "LatticeConfig",
     "SimState",
+    "LatticeState",
+    "RuntimeParams",
     "init_state",
+    "init_lattice",
+    "init_ensemble",
     "make_step_fn",
+    "make_lattice_step",
     "make_ensemble_step",
     "run",
 ]

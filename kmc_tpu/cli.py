@@ -64,10 +64,23 @@ def main(argv=None):
     ap.add_argument("--replicas", type=int, default=1,
                     help="trajectory-ensemble size (vmapped; >1 also writes "
                          "bond_ens.dat with mean/std kinetics)")
+    ap.add_argument("--engine", choices=["particle", "lattice"],
+                    default="particle",
+                    help="particle: the reference-parity rigid-body engine; "
+                         "lattice: the occupancy-grid engine (LatticeConfig "
+                         "keys in --set; use --lattice-pallas for the fused "
+                         "kernel)")
+    ap.add_argument("--lattice-pallas", action="store_true",
+                    help="lattice engine: use the fused Pallas TPU kernel")
+    ap.add_argument("--out-every", type=int, default=None,
+                    help="lattice engine output cadence (default 1000)")
     ap.add_argument("--resume", choices=["auto", "native", "reference", "none"],
                     default="auto")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.engine == "lattice":
+        return run_lattice(args)
 
     cfg = SimConfig.from_json(args.config) if args.config else SimConfig()
     cfg = SimConfig.from_dict(coerce(cfg.to_dict(), parse_overrides(args.sets)))
@@ -117,6 +130,59 @@ def main(argv=None):
     outputs.close()
     if not args.quiet:
         print(f"done at step {int(state.step) - 1}")
+    return 0
+
+
+def run_lattice(args) -> int:
+    """Lattice-engine run (BASELINE configs 2/3): occupancy-grid diffusion-
+    reaction with species histogram + MSD time series."""
+    import os as _os
+    import time as _time
+
+    from kmc_tpu.config import LatticeConfig
+    from kmc_tpu.lattice.grid import init_lattice
+    from kmc_tpu.lattice.io import LatticeOutputSet, load_lattice
+    from kmc_tpu.lattice.step import make_lattice_chunk
+
+    lcfg = LatticeConfig.from_dict(
+        coerce(LatticeConfig().to_dict(), parse_overrides(args.sets))
+    )
+    out_every = args.out_every or 1000
+    ckpt = _os.path.join(args.out, "lattice_checkpoint.npz")
+    state = None
+    if args.resume in ("auto", "native") and _os.path.exists(ckpt):
+        state = load_lattice(ckpt)
+        print(f"resuming lattice from {ckpt} at step {int(state.step)}")
+    fresh = state is None
+    if fresh:
+        state = init_lattice(lcfg, seed=args.seed)
+
+    if args.lattice_pallas:
+        from kmc_tpu.ops.pallas_lattice import make_pallas_lattice_step
+
+        pstep = make_pallas_lattice_step(lcfg)
+
+        def chunk(s):
+            for _ in range(out_every):
+                s = pstep(s)
+            return s
+    else:
+        chunk = make_lattice_chunk(lcfg, out_every)
+
+    outputs = LatticeOutputSet(args.out, lcfg, fresh=fresh)
+    n_steps = args.steps if args.steps is not None else 100_000
+    t0 = _time.perf_counter()
+    done = 0
+    while done < n_steps:
+        state = chunk(state)
+        done += out_every
+        outputs(state)
+        if not args.quiet:
+            rate = done / max(_time.perf_counter() - t0, 1e-9)
+            print(f"lattice step {int(state.step)}  rate={rate:,.0f} steps/s",
+                  file=sys.stderr)
+    if not args.quiet:
+        print(f"done at lattice step {int(state.step)}")
     return 0
 
 

@@ -65,6 +65,29 @@ def cluster_stats(info: ClusterInfo, cfg: SimConfig):
     return cluster_size, max_b
 
 
+MAX_HIST_SIZE = 16
+
+
+def cluster_histogram(info: ClusterInfo, cfg: SimConfig):
+    """Histogram of ligand-seeded cluster sizes, i32[MAX_HIST_SIZE + 1]:
+    slot s = number of clusters of size s (s >= MAX_HIST_SIZE binned into the
+    last slot; slot 0 unused).  The cluster-size *distribution* is the
+    headline correctness target (BASELINE.md): monomer/dimer/trimer/...
+    fractions follow by normalization."""
+    seeded = info.is_root & (info.n_b > 0)
+    sizes = jnp.where(seeded, jnp.clip(info.size, 0, MAX_HIST_SIZE), 0)
+    return jnp.bincount(sizes, length=MAX_HIST_SIZE + 1).at[0].set(0)
+
+
+def receptor_oligomer_histogram(info: ClusterInfo, cfg: SimConfig):
+    """Histogram over the number of RECEPTORS per cluster (any cluster with
+    >= 1 receptor, including free receptors as size 1) — the receptor
+    oligomerization statistic of the underlying paper."""
+    rooted = info.is_root & (info.n_a > 0)
+    sizes = jnp.where(rooted, jnp.clip(info.n_a, 0, MAX_HIST_SIZE), 0)
+    return jnp.bincount(sizes, length=MAX_HIST_SIZE + 1).at[0].set(0)
+
+
 def observe(state: SimState, info: ClusterInfo, cfg: SimConfig) -> Observables:
     """Observables for the step just completed: counters from the committed
     topology, cluster stats from that step's start-of-step labels — the

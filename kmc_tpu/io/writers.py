@@ -100,6 +100,27 @@ def append_gro_frame(path: str, state: SimState, cfg: SimConfig) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+def append_hist(path: str, state: SimState, cfg: SimConfig) -> None:
+    """Cluster-size distribution row: t, then ligand-seeded cluster counts by
+    size 1..MAX_HIST_SIZE, then receptor-oligomer counts (observables.py).
+    New in kmc_tpu — the reference only logs the mean (main.cpp:2251)."""
+    from kmc_tpu.engine.clusters import cluster_labels
+    from kmc_tpu.engine.observables import (
+        cluster_histogram,
+        receptor_oligomer_histogram,
+    )
+
+    info = cluster_labels(state, cfg)
+    h1 = np.asarray(cluster_histogram(info, cfg))[1:]
+    h2 = np.asarray(receptor_oligomer_histogram(info, cfg))[1:]
+    t = (int(state.step) - 1) * cfg.time_step
+    with open(path, "a") as f:
+        f.write(
+            f"{t:.3f} " + " ".join(str(int(x)) for x in h1) + " | "
+            + " ".join(str(int(x)) for x in h2) + "\n"
+        )
+
+
 def bfs_clusters(state: SimState, cfg: SimConfig) -> List[List[int]]:
     """Host-side replication of the reference ligand-seeded BFS
     (main.cpp:505-562): one row per ligand, listing 1-based member indices
@@ -165,8 +186,9 @@ class OutputSet:
         self.gro = os.path.join(out_dir, "test.gro")
         self.cluster = os.path.join(out_dir, "cluster.log")
         self.cpt = os.path.join(out_dir, "position.cpt")
+        self.hist = os.path.join(out_dir, "hist.dat")
         if fresh:
-            for f in (self.bond, self.gro, self.cluster):
+            for f in (self.bond, self.gro, self.cluster, self.hist):
                 open(f, "w").close()
         write_parameter_log(os.path.join(out_dir, "parameter.log"), cfg)
 
@@ -196,6 +218,7 @@ class OutputSet:
         else:
             append_gro_frame(self.gro, state, self.cfg)
         append_cluster_log(self.cluster, state, self.cfg)
+        append_hist(self.hist, state, self.cfg)
         save_reference_cpt(self.cpt, state, self.cfg)
 
     def close(self) -> None:

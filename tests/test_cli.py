@@ -45,6 +45,21 @@ def test_cli_ensemble_mode(tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "test.gro"))
 
 
+def test_cli_lattice_mode(tmp_path):
+    base = ["--engine", "lattice", "--out", str(tmp_path),
+            "--seed", "1", "--quiet", "--out-every", "100",
+            "--set", "height=32", "--set", "width=32", "--set", "density=0.1"]
+    assert cli.main(base + ["--steps", "200"]) == 0
+    rows = open(os.path.join(tmp_path, "lattice.dat")).read().splitlines()
+    assert len(rows) == 2
+    n0 = int(rows[0].split()[1])
+    assert int(rows[1].split()[1]) == n0          # mass conserved
+    # resume continues
+    assert cli.main(base + ["--steps", "100"]) == 0
+    rows = open(os.path.join(tmp_path, "lattice.dat")).read().splitlines()
+    assert len(rows) == 3 and rows[2].startswith("300 ")
+
+
 def test_cli_bad_value_message(tmp_path, capsys):
     with pytest.raises(SystemExit) as e:
         cli.main(["--steps", "1", "--out", str(tmp_path), "--set", "n_a=abc"])
