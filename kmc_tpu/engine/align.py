@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from kmc_tpu.config import SimConfig
 from kmc_tpu.engine.clusters import ClusterInfo
 from kmc_tpu.engine.diffusion import cluster_reject
-from kmc_tpu.geometry import align_angle_2d, quat_axis_z, quat_to_mat
+from kmc_tpu.geometry import align_angle_2d, quat_axis_z, quat_rotate
 from kmc_tpu.ops.segment import seg_max, seg_min
 from kmc_tpu.models.tnfr import (
     b_center_offset,
@@ -106,8 +106,8 @@ def idealize(state: SimState, info: ClusterInfo, skey, cfg: SimConfig) -> SimSta
     # ---- root ligand lay-down in place (main.cpp:1138-1193) ----
     b_idx = jnp.arange(nb)
     root_b = is_root[na:] & act[na:] & (~state.b_laid)
-    bead1_dir = jnp.einsum(
-        "nij,j->ni", quat_to_mat(state.b_quat), tmpl[1, 0]
+    bead1_dir = quat_rotate(
+        state.b_quat, jnp.broadcast_to(tmpl[1, 0], (nb, 3))
     )[:, :2]                                              # current bead-1 xy dir
     alpha0 = align_angle_2d(
         jnp.broadcast_to(tmpl[1, 0, :2], (nb, 2)), bead1_dir
@@ -133,9 +133,9 @@ def idealize(state: SimState, info: ClusterInfo, skey, cfg: SimConfig) -> SimSta
         # A <- B trans seat (main.cpp:1313-1325)
         pb = jnp.clip(par - na, 0, nb - 1)
         site_bead = jnp.clip(state.a_site, 1, 3)          # bound B bead 1..3
-        rotp = quat_to_mat(b_quat[pb])                    # [na, 3, 3]
-        bsite = b_center[pb] + jnp.einsum("nij,nj->ni", rotp, tmpl[site_bead, 1])
-        bbead = b_center[pb] + jnp.einsum("nij,nj->ni", rotp, tmpl[site_bead, 0])
+        qp = b_quat[pb]                                   # [na, 4]
+        bsite = b_center[pb] + quat_rotate(qp, tmpl[site_bead, 1])
+        bbead = b_center[pb] + quat_rotate(qp, tmpl[site_bead, 0])
         u_t = (bsite[:, :2] - bbead[:, :2])
         u_t = u_t / jnp.maximum(jnp.linalg.norm(u_t, axis=1, keepdims=True), 1e-9)
         xy_trans = bsite[:, :2] + t_off[0] * u_t

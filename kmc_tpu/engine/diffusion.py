@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from kmc_tpu.config import SimConfig
 from kmc_tpu.engine.clusters import ClusterInfo
 from kmc_tpu.engine.params import RuntimeParams, from_config
-from kmc_tpu.geometry import quat_from_euler, quat_mul, quat_to_mat
+from kmc_tpu.geometry import mat3_apply, quat_from_euler, quat_mul, quat_to_mat
 from kmc_tpu.ops.segment import seg_max, seg_sum
 from kmc_tpu.state import SimState, positions
 
@@ -196,9 +196,7 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
 
     com_m = com[label]                                             # per molecule
     rot_m = rot[label]
-    new_centers = (
-        jnp.einsum("nij,nj->ni", rot_m, centers - com_m) + com_m
-    )
+    new_centers = mat3_apply(rot_m, centers - com_m) + com_m
     a_xy = new_centers[:na, :2]
     a_psi = state.a_psi + psai[:na]
     b_center = new_centers[na:]

@@ -168,6 +168,44 @@ def quat_from_euler(theta, phi, psai):
     return quat_mul(quat_axis_z(phi), quat_mul(quat_axis_x(theta), quat_axis_z(psai)))
 
 
+def mat3_apply(r, v):
+    """Batched 3x3 matrix-vector product in explicit component form.
+
+    ``jnp.einsum('...ij,...j->...i')`` with per-element 3x3 matrices lowers
+    to a degenerate batched dot_general on TPU (tiny contraction per MXU
+    tile); the expanded elementwise form runs on the VPU at full rate.
+    r: (..., 3, 3); v: (..., 3).
+    """
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [
+            r[..., 0, 0] * x + r[..., 0, 1] * y + r[..., 0, 2] * z,
+            r[..., 1, 0] * x + r[..., 1, 1] * y + r[..., 1, 2] * z,
+            r[..., 2, 0] * x + r[..., 2, 1] * y + r[..., 2, 2] * z,
+        ],
+        axis=-1,
+    )
+
+
+def quat_rotate(q, v):
+    """Rotate vectors v (..., 3) by unit quaternions q (..., 4):
+    v' = v + 2 w (u x v) + 2 u x (u x v), u = q.xyz — fully expanded into
+    component arithmetic (jnp.cross lowers to concatenates that fragment
+    TPU fusion; explicit components stay on the VPU)."""
+    w = q[..., 0]
+    ux, uy, uz = q[..., 1], q[..., 2], q[..., 3]
+    vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    # t = u x v
+    tx = uy * vz - uz * vy
+    ty = uz * vx - ux * vz
+    tz = ux * vy - uy * vx
+    # v' = v + 2 (w t + u x t)
+    ox = vx + 2.0 * (w * tx + uy * tz - uz * ty)
+    oy = vy + 2.0 * (w * ty + uz * tx - ux * tz)
+    oz = vz + 2.0 * (w * tz + ux * ty - uy * tx)
+    return jnp.stack([ox, oy, oz], axis=-1)
+
+
 def quat_to_mat(q):
     """Rotation matrix (..., 3, 3) of a unit quaternion (w, x, y, z)."""
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]

@@ -71,12 +71,18 @@ def cell_uniform(shape, step, salt, row0=0, col0=0,
     gx = jnp.mod(gx, fw).astype(jnp.uint32)
     counter = gy * jnp.uint32(fw) + gx
     bits = hash_u32(counter, jnp.asarray(step), salt)
-    return bits.astype(jnp.float32) * jnp.float32(2.0**-32)
+    return _bits_to_uniform(bits)
+
+
+def _bits_to_uniform(bits):
+    """uint32 bits -> uniform [0,1) via the top 24 bits.  Goes through int32
+    (Mosaic/Pallas supports int32->f32 but not uint32->f32), and 24 bits is
+    the full f32 mantissa anyway."""
+    return (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * \
+        jnp.float32(2.0**-24)
 
 
 def scalar_uniforms(n, step, salt):
     """n scalar uniforms for per-step global draws (direction, parity)."""
     c = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(0xDEADBEEF)
-    return hash_u32(c, jnp.asarray(step), salt).astype(jnp.float32) * jnp.float32(
-        2.0**-32
-    )
+    return _bits_to_uniform(hash_u32(c, jnp.asarray(step), salt))

@@ -109,30 +109,38 @@ def _variant(hop_axis, rct_dir, cfg, shape, interpret):
     )
 
 
-def make_pallas_lattice_step(cfg: LatticeConfig, interpret: bool | None = None):
-    """Jitted fused-kernel step, trajectory-identical to lattice_step."""
+def padded_block_call(cfg: LatticeConfig, grid, disp, step, seed,
+                      dir_idx, par_off, row0, col0,
+                      interpret: bool | None = None):
+    """Kernel invocation on an arbitrary (halo-padded) block with explicit
+    global origin — the shard_map building block (parallel/halo.py).
+    Traceable: usable inside shard_map/jit; directions resolve via
+    lax.switch over the 8 static variants."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    shape = (cfg.height, cfg.width)
+    shape = grid.shape
+    scal = jnp.stack(
+        [step, seed, row0, col0, par_off[1]]
+    ).astype(jnp.int32)
+    hop_axis = dir_idx[0] % 2
+    rct_dir = dir_idx[1]
+    branches = []
+    for ha in range(2):
+        for rd in range(4):
+            call = _variant(ha, rd, cfg, shape, interpret)
+            branches.append(lambda s, g, d, call=call: call(s, g, d))
+    return jax.lax.switch(hop_axis * 4 + rct_dir, branches, scal, grid, disp)
+
+
+def make_pallas_lattice_step(cfg: LatticeConfig, interpret: bool | None = None):
+    """Jitted fused-kernel step, trajectory-identical to lattice_step."""
 
     @jax.jit
     def step(state: LatticeState) -> LatticeState:
         dir_idx, par_off = step_controls(state)
-        hop_axis = dir_idx[0] % 2
-        rct_dir = dir_idx[1]
-        scal = jnp.stack(
-            [state.step, state.seed, jnp.int32(0), jnp.int32(0), par_off[1]]
-        ).astype(jnp.int32)
-
-        branches = []
-        for ha in range(2):
-            for rd in range(4):
-                call = _variant(ha, rd, cfg, shape, interpret)
-                branches.append(
-                    lambda s, g, d, call=call: call(s, g, d)
-                )
-        grid, disp = jax.lax.switch(
-            hop_axis * 4 + rct_dir, branches, scal, state.grid, state.disp
+        grid, disp = padded_block_call(
+            cfg, state.grid, state.disp, state.step, state.seed,
+            dir_idx, par_off, jnp.int32(0), jnp.int32(0), interpret=interpret,
         )
         return state._replace(grid=grid, disp=disp, step=state.step + 1)
 

@@ -88,3 +88,45 @@ def make_halo_lattice_step(cfg, mesh):
         return state._replace(grid=grid, disp=disp, step=state.step + 1)
 
     return step
+
+
+def make_halo_pallas_step(cfg, mesh, interpret: bool | None = None):
+    """shard_map + explicit halos + the fused Pallas kernel per device —
+    the pod-scale composition (BASELINE config 5: each device owns a
+    VMEM-sized block of a huge lattice; ppermute moves 4-cell ghost zones;
+    one kernel invocation advances the block).  Bitwise-identical to every
+    other lattice path (counter-hash randomness on global coordinates)."""
+    import jax
+
+    from kmc_tpu.lattice.grid import LatticeState
+    from kmc_tpu.lattice.step import step_controls
+    from kmc_tpu.ops.pallas_lattice import padded_block_call
+
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    lh, lw = cfg.height // nx, cfg.width // ny
+
+    def local_update(grid, disp, step, seed, dir_idx, par_off):
+        row0 = jax.lax.axis_index("x") * lh - 4
+        col0 = jax.lax.axis_index("y") * lw - 4
+        g, d = padded_block_call(
+            cfg, halo_pad(grid, 4), halo_pad(disp, 4), step, seed,
+            dir_idx, par_off, row0, col0, interpret=interpret,
+        )
+        return g[4:-4, 4:-4], d[4:-4, 4:-4]
+
+    shmapped = jax.shard_map(
+        local_update,
+        mesh=mesh,
+        in_specs=(P("x", "y"), P("x", "y", None), P(), P(), P(), P()),
+        out_specs=(P("x", "y"), P("x", "y", None)),
+        check_vma=False,   # pallas_call outputs carry no vma annotation
+    )
+
+    @jax.jit
+    def step(state: LatticeState) -> LatticeState:
+        dir_idx, par_off = step_controls(state)
+        grid, disp = shmapped(state.grid, state.disp, state.step, state.seed,
+                              dir_idx, par_off)
+        return state._replace(grid=grid, disp=disp, step=state.step + 1)
+
+    return step

@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from kmc_tpu.config import SimConfig
-from kmc_tpu.geometry import quat_identity, quat_to_mat
+from kmc_tpu.geometry import quat_identity, quat_rotate
 from kmc_tpu.models.tnfr import ligand_template, receptor_template
 
 
@@ -107,8 +107,7 @@ def a_positions(a_xy, a_psi, cfg: SimConfig):
 def b_positions(b_center, b_quat, cfg: SimConfig):
     """Ligand bead/point coordinates, f32[n_b, 4, 4, 3]."""
     tmpl = ligand_template(cfg).reshape(16, 3)
-    rot = quat_to_mat(b_quat)                       # [n_b, 3, 3]
-    pts = jnp.einsum("nij,pj->npi", rot, tmpl) + b_center[:, None, :]
+    pts = quat_rotate(b_quat[:, None, :], tmpl[None, :, :]) + b_center[:, None, :]
     return pts.reshape(-1, 4, 4, 3)
 
 

@@ -29,6 +29,25 @@ def test_halo_step_matches_single_device():
     assert int(particle_count(b)) == int(particle_count(st0))
 
 
+def test_halo_pallas_matches_plain_halo():
+    """shard_map + per-device Pallas kernel == shard_map + jnp local step
+    (and hence == single device), bitwise."""
+    from kmc_tpu.parallel.halo import make_halo_pallas_step
+
+    cfg = LatticeConfig(height=64, width=64, density=0.12, ass_prob=0.25,
+                        diss_prob=0.08)
+    st0 = init_lattice(cfg, seed=21)
+    mesh = grid_mesh((2, 4))
+    plain = make_halo_lattice_step(cfg, mesh)
+    fused = make_halo_pallas_step(cfg, mesh, interpret=True)
+    a, b = st0, st0
+    for _ in range(12):
+        a = plain(a)
+        b = fused(b)
+    np.testing.assert_array_equal(np.asarray(a.grid), np.asarray(b.grid))
+    np.testing.assert_array_equal(np.asarray(a.disp), np.asarray(b.disp))
+
+
 def test_halo_on_2x2_mesh():
     import jax
 
