@@ -86,6 +86,52 @@ def _choose_roots(state: SimState, info: ClusterInfo, skey, cfg: SimConfig):
     return root_b | root_a
 
 
+def idealize_fused(state: SimState, info: ClusterInfo, skey,
+                   cfg: SimConfig, interpret=None) -> SimState:
+    """idealize with the depth+sweep core as one fused Pallas kernel
+    (ops/pallas_align.py); root choice and the collision revert stay in XLA.
+    Bitwise-equivalent to idealize (tests/test_pallas_align.py)."""
+    from kmc_tpu.ops.pallas_align import align_core
+
+    n, na = cfg.n, cfg.n_a
+    is_root = _choose_roots(state, info, skey, cfg)
+    act = info.size > 1
+    a_xy, a_psi, b_center, b_quat, b_laid = align_core(
+        state, is_root, act, cfg, interpret=interpret
+    )
+    prop = state._replace(a_xy=a_xy, a_psi=a_psi, b_center=b_center,
+                          b_quat=b_quat, b_laid=b_laid)
+    return _collision_revert(state, prop, info, cfg)
+
+
+def _collision_revert(state: SimState, prop: SimState, info: ClusterInfo,
+                      cfg: SimConfig) -> SimState:
+    """Whole-cluster revert of changed clusters that now overlap
+    (main.cpp:1759-1860)."""
+    n, na = cfg.n, cfg.n_a
+    tol = 1e-3
+    moved_a = (
+        jnp.max(jnp.abs(prop.a_xy - state.a_xy), axis=1) > tol
+    ) | (jnp.abs(prop.a_psi - state.a_psi) > 1e-4)
+    moved_b = (
+        jnp.max(jnp.abs(prop.b_center - state.b_center), axis=1) > tol
+    ) | (jnp.max(jnp.abs(prop.b_quat - state.b_quat), axis=1) > 1e-4)
+    moved = jnp.concatenate([moved_a, moved_b])
+    changed = seg_max(moved, info.label, n)               # per label
+
+    p_new = positions(prop, cfg)
+    rej = cluster_reject(p_new, p_new, info.label, cfg) & changed
+    keep = ~rej[info.label]                               # per molecule
+
+    return state._replace(
+        a_xy=jnp.where(keep[:na, None], prop.a_xy, state.a_xy),
+        a_psi=jnp.where(keep[:na], prop.a_psi, state.a_psi),
+        b_center=jnp.where(keep[na:, None], prop.b_center, state.b_center),
+        b_quat=jnp.where(keep[na:, None], prop.b_quat, state.b_quat),
+        b_laid=jnp.where(keep[na:], prop.b_laid, state.b_laid),
+    )
+
+
 def idealize(state: SimState, info: ClusterInfo, skey, cfg: SimConfig) -> SimState:
     n, na, nb = cfg.n, cfg.n_a, cfg.n_b
     ra, rb = cfg.rb_a_radius, cfg.rb_b_radius

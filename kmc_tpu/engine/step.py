@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from kmc_tpu import rng
 from kmc_tpu.config import SimConfig
-from kmc_tpu.engine.align import idealize
+from kmc_tpu.engine.align import idealize, idealize_fused
 from kmc_tpu.engine.clusters import cluster_labels
 from kmc_tpu.engine.diffusion import diffuse
 from kmc_tpu.engine.observables import Observables, cluster_stats, observe
@@ -41,7 +41,8 @@ def step_fn(state: SimState, cfg: SimConfig, rp=None):
     max_c = jnp.maximum(state.max_complex, max_b)
 
     st = diffuse(state, info, rng.stream_key(skey, rng.STREAM_MOVE), cfg, rp)
-    st = idealize(st, info, rng.stream_key(skey, rng.STREAM_ALIGN), cfg)
+    align = idealize_fused if cfg.fused_align else idealize
+    st = align(st, info, rng.stream_key(skey, rng.STREAM_ALIGN), cfg)
     st = react(st, skey, cfg, rp)
     st = st._replace(step=state.step + 1, max_complex=max_c)
     return st, observe(st, info, cfg)
