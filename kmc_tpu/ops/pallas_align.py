@@ -9,13 +9,23 @@ program per replica (grid = replicas), with every dynamic gather expressed
 as a one-hot matmul (Mosaic has no general dynamic-gather; [n, n] one-hot
 contractions are tiny MXU work at n = 200).
 
+Mosaic has no ``atan2``/``sin``/``cos`` lowering, so the kernel is
+**transcendental-free**: receptor orientations travel as unit direction
+vectors (cos ψ, sin ψ) instead of angles, and z-axis quaternions are built
+from (cos α, sin α) via the algebraic half-angle identities
+cos(α/2) = √((1+cos α)/2), sin(α/2) = sign(sin α)·√((1−cos α)/2)
+(α ∈ (−π, π], so cos(α/2) ≥ 0).  The wrapper converts ψ → direction on
+the way in and direction → ψ (one XLA ``arctan2``) on the way out; a
+snapped-mask output keeps un-snapped ψ bitwise untouched.
+
 Inputs are the pose/topology arrays plus the externally-drawn root mask;
 outputs are the snapped poses + lay-down flags.  The surrounding jnp code
 (root choice, collision revert) stays in engine/align.py — it measures
 ~free under XLA.
 
-Bitwise parity with the jnp path is asserted in tests/test_pallas_align.py
-(same arithmetic, same order).
+Parity with the jnp path (same geometry to f32 round-off; the direction-
+vector representation differs from cos(atan2(...)) by ~1 ulp) is asserted
+in tests/test_pallas_align.py.
 """
 
 from __future__ import annotations
@@ -28,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kmc_tpu.config import SimConfig
-from kmc_tpu.geometry import align_angle_2d, quat_axis_z, quat_rotate
+from kmc_tpu.geometry import quat_rotate
 from kmc_tpu.models.tnfr import (
     b_center_offset,
     cis_offsets,
@@ -52,11 +62,24 @@ def _gather_rows(oh, x):
     )
 
 
-def _align_kernel(a_xy_ref, a_psi_ref, b_center_ref, b_quat_ref,
+def _quat_z_from_cs(dot, det):
+    """Unit quaternion rotating about +z by α = atan2(det, dot), without
+    transcendentals (half-angle identities; geometry.quat_axis_z analogue).
+    dot/det need not be normalized — only their direction matters."""
+    r = jnp.maximum(jnp.sqrt(dot * dot + det * det), 1e-12)
+    c = dot / r
+    ch = jnp.sqrt(jnp.maximum((1.0 + c) * 0.5, 0.0))
+    sh = jnp.sqrt(jnp.maximum((1.0 - c) * 0.5, 0.0))
+    sh = jnp.where(det < 0, -sh, sh)                 # atan2(0, -1) = +π
+    z = jnp.zeros_like(ch)
+    return jnp.stack([ch, z, z, sh], axis=-1)
+
+
+def _align_kernel(a_xy_ref, a_dir_ref, b_center_ref, b_quat_ref,
                   a_trans_ref, a_site_ref, a_cis_ref, b_partner_ref,
                   b_laid_ref, is_root_ref, act_ref, tmpl_ref,
-                  out_a_xy, out_a_psi, out_b_center, out_b_quat, out_b_laid,
-                  *, cfg: SimConfig):
+                  out_a_xy, out_a_dir, out_a_snap, out_b_center, out_b_quat,
+                  out_b_laid, *, cfg: SimConfig):
     na, nb, n = cfg.n_a, cfg.n_b, cfg.n
     ra = cfg.rb_a_radius
     # the template is a kernel INPUT: array constants materialized during
@@ -68,7 +91,7 @@ def _align_kernel(a_xy_ref, a_psi_ref, b_center_ref, b_quat_ref,
     plane_z = cfg.plane_z
 
     a_xy = a_xy_ref[:]                      # [na, 2]
-    a_psi = a_psi_ref[:]                    # [na, 1]
+    a_dir = a_dir_ref[:]                    # [na, 2] (cos ψ, sin ψ)
     b_center = b_center_ref[:]              # [nb, 3]
     b_quat = b_quat_ref[:]                  # [nb, 4]
     a_trans = a_trans_ref[:]                # [na, 1]
@@ -118,13 +141,15 @@ def _align_kernel(a_xy_ref, a_psi_ref, b_center_ref, b_quat_ref,
     root_b = ((is_root[na:, 0] == 1) & (act[na:, 0] == 1)
               & (b_laid[:, 0] == 0))
     bead1_dir = quat_rotate(b_quat, jnp.broadcast_to(tmpl[1, 0], (nb, 3)))
-    alpha0 = align_angle_2d(jnp.broadcast_to(tmpl[1, 0, :2], (nb, 2)),
-                            bead1_dir[:, :2])
-    b_quat = jnp.where(root_b[:, None], quat_axis_z(alpha0), b_quat)
-    b_center = jnp.concatenate(
-        [b_center[:, :2],
-         jnp.where(root_b[:, None], plane_z, b_center[:, 2:3])], axis=1
-    )
+    # align tmpl bead-1 xy onto the current bead-1 xy: α0 = atan2(det, dot)
+    tx, ty = tmpl[1, 0, 0], tmpl[1, 0, 1]
+    dot0 = tx * bead1_dir[:, 0] + ty * bead1_dir[:, 1]
+    det0 = tx * bead1_dir[:, 1] - ty * bead1_dir[:, 0]
+    b_quat = jnp.where(root_b[:, None], _quat_z_from_cs(dot0, det0), b_quat)
+    # z := plane_z on root ligands.  Mosaic rejects concatenation of slices
+    # ("offset mismatch on non-concat dimension"), so mask the z column.
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (nb, 3), 1)
+    b_center = jnp.where((col3 == 2) & root_b[:, None], plane_z, b_center)
     b_laid_new = jnp.where(root_b[:, None], 1, b_laid)
 
     # ---- snap sweeps ----
@@ -150,6 +175,7 @@ def _align_kernel(a_xy_ref, a_psi_ref, b_center_ref, b_quat_ref,
 
     depth_a = depth[:na, 0]
     depth_b = depth[na:, 0]
+    a_snap = jnp.zeros((na, 1), jnp.int32)
 
     for d in range(1, cfg.align_depth + 1):
         # --- A children ---
@@ -163,38 +189,44 @@ def _align_kernel(a_xy_ref, a_psi_ref, b_center_ref, b_quat_ref,
             jnp.sqrt(jnp.sum(u_t * u_t, axis=1, keepdims=True)), 1e-9
         )
         xy_trans = bsite[:, :2] + t_off[0] * u_t
-        psi_trans = jnp.arctan2(-u_t[:, 1], -u_t[:, 0])
+        dir_trans = -u_t                                        # ψ faces the B
 
-        psi_p = _gather_rows(oh_pa, a_psi)[:, 0]                # [na]
-        ux = jnp.stack([jnp.cos(psi_p), jnp.sin(psi_p)], axis=-1)
+        ux = _gather_rows(oh_pa, a_dir)                         # [na, 2]
         cis_site = _gather_rows(oh_pa, a_xy) - ra * ux
         xy_cis = cis_site + c_off[0] * (-ux)
-        psi_cis = jnp.arctan2(-ux[:, 1], -ux[:, 0])
+        dir_cis = -ux                                           # ψ faces parent
 
         new_xy = jnp.where(par_is_b[:, None], xy_trans, xy_cis)
-        new_psi = jnp.where(par_is_b, psi_trans, psi_cis)
+        new_dir = jnp.where(par_is_b[:, None], dir_trans, dir_cis)
         a_xy = jnp.where(sel_a[:, None], new_xy, a_xy)
-        a_psi = jnp.where(sel_a[:, None], new_psi[:, None], a_psi)
+        a_dir = jnp.where(sel_a[:, None], new_dir, a_dir)
+        a_snap = jnp.where(sel_a[:, None], 1, a_snap)
 
         # --- B children ---
         sel_b = ((act[na:, 0] == 1) & (depth_b == d) & (par_b >= 0))
-        psi_p2 = _gather_rows(oh_pa2, a_psi)[:, 0]              # [nb]
-        ux2 = jnp.stack([jnp.cos(psi_p2), jnp.sin(psi_p2)], axis=-1)
+        ux2 = _gather_rows(oh_pa2, a_dir)                       # [nb, 2]
         asite = _gather_rows(oh_pa2, a_xy) + ra * ux2
         ctr_xy = asite + seat_r * ux2
-        alpha = align_angle_2d(ghost_b, -ux2)
-        b_center = jnp.where(
-            sel_b[:, None],
-            jnp.concatenate(
-                [ctr_xy, jnp.full((nb, 1), plane_z, jnp.float32)], axis=1
-            ),
-            b_center,
+        # align ghost bead direction onto −ux2: α = atan2(det, dot)
+        dot = ghost_b[:, 0] * (-ux2[:, 0]) + ghost_b[:, 1] * (-ux2[:, 1])
+        det = ghost_b[:, 0] * (-ux2[:, 1]) - ghost_b[:, 1] * (-ux2[:, 0])
+        # [nb, 3] center = (ctr_x, ctr_y, plane_z) without concatenate:
+        # pad xy to 3 columns via a [2, 3] identity matmul, mask in z.
+        pad23 = (jax.lax.broadcasted_iota(jnp.int32, (2, 3), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (2, 3), 1)
+                 ).astype(jnp.float32)
+        ctr3 = jax.lax.dot_general(
+            ctr_xy, pad23, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        b_quat = jnp.where(sel_b[:, None], quat_axis_z(alpha), b_quat)
+        ctr3 = jnp.where(col3 == 2, plane_z, ctr3)
+        b_center = jnp.where(sel_b[:, None], ctr3, b_center)
+        b_quat = jnp.where(sel_b[:, None], _quat_z_from_cs(dot, det), b_quat)
         b_laid_new = jnp.where(sel_b[:, None], 1, b_laid_new)
 
     out_a_xy[:] = a_xy
-    out_a_psi[:] = a_psi
+    out_a_dir[:] = a_dir
+    out_a_snap[:] = a_snap
     out_b_center[:] = b_center
     out_b_quat[:] = b_quat
     out_b_laid[:] = b_laid_new
@@ -210,18 +242,22 @@ def align_core(state, is_root, act, cfg: SimConfig, interpret=None):
         functools.partial(_align_kernel, cfg=cfg),
         out_shape=(
             jax.ShapeDtypeStruct((na, 2), jnp.float32),
-            jax.ShapeDtypeStruct((na, 1), jnp.float32),
+            jax.ShapeDtypeStruct((na, 2), jnp.float32),
+            jax.ShapeDtypeStruct((na, 1), jnp.int32),
             jax.ShapeDtypeStruct((nb, 3), jnp.float32),
             jax.ShapeDtypeStruct((nb, 4), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1), jnp.int32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 5),
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
         interpret=interpret,
     )
-    a_xy, a_psi, b_center, b_quat, b_laid = call(
+    a_dir_in = jnp.stack(
+        [jnp.cos(state.a_psi), jnp.sin(state.a_psi)], axis=-1
+    )
+    a_xy, a_dir, a_snap, b_center, b_quat, b_laid = call(
         state.a_xy,
-        state.a_psi[:, None],
+        a_dir_in,
         state.b_center,
         state.b_quat,
         state.a_trans[:, None],
@@ -233,4 +269,11 @@ def align_core(state, is_root, act, cfg: SimConfig, interpret=None):
         act[:, None].astype(jnp.int32),
         ligand_template(cfg),
     )
-    return a_xy, a_psi[:, 0], b_center, b_quat, b_laid[:, 0] > 0
+    # ψ reconstruction happens in XLA (Mosaic has no atan2); un-snapped
+    # receptors keep their state ψ bitwise.
+    a_psi = jnp.where(
+        a_snap[:, 0] > 0,
+        jnp.arctan2(a_dir[:, 1], a_dir[:, 0]),
+        state.a_psi,
+    )
+    return a_xy, a_psi, b_center, b_quat, b_laid[:, 0] > 0
