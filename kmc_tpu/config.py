@@ -77,10 +77,11 @@ class SimConfig:
     #   (snap chains longer than this finish over subsequent steps; the
     #   mobility freeze keeps real complexes well inside this bound)
     match_rounds: int = 2              # mutual-argmax rounds in reaction matching
-    fused_align: bool = False          # run the idealize core as one fused
+    fused_align: bool = True           # run the idealize core as one fused
     #   Pallas kernel (ops/pallas_align.py); False = pure-XLA path.  Both are
-    #   bitwise-equivalent (tests/test_pallas_align.py).  Default off until
-    #   the Mosaic path is benchmarked on hardware.
+    #   numerically equivalent within <=1e-4 A (tests/test_pallas_align.py).
+    #   Measured on one v5e chip, 256 replicas: 38.5 ms/step fused vs 52.8
+    #   ms/step XLA (scripts/bench_align_tpu.py, 2026-08-20).
     sin_weighted_theta: bool = False   # reference quirk #3: ligand 3D direction
     #   uses theta = U*pi (pole-oversampled, main.cpp:910). False replicates the
     #   reference; True samples cos(theta) uniformly (physically isotropic).

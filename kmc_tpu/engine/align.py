@@ -90,7 +90,9 @@ def idealize_fused(state: SimState, info: ClusterInfo, skey,
                    cfg: SimConfig, interpret=None) -> SimState:
     """idealize with the depth+sweep core as one fused Pallas kernel
     (ops/pallas_align.py); root choice and the collision revert stay in XLA.
-    Bitwise-equivalent to idealize (tests/test_pallas_align.py)."""
+    Numerically equivalent to idealize within <=1e-4 A / 1e-5 rad (the kernel
+    evaluates the same math with ~1 ulp representation differences; see
+    tests/test_pallas_align.py)."""
     from kmc_tpu.ops.pallas_align import align_core
 
     n, na = cfg.n, cfg.n_a
