@@ -183,9 +183,24 @@ def load_reference_cpt(path: str, cfg: SimConfig, seed: int = 0) -> SimState:
         zv = (coords[0, 1] - center) / rb            # up-site = +z
         xv = np.cross(yv, zv)
         m = np.stack([xv, yv, zv], axis=1)           # columns = image axes
-        # orthonormalize against %.3f rounding
+        # The reference's lay-down rebuild (main.cpp:1145-1190) projects the
+        # trimer flat with a fixed planar winding; a ligand laid while facing
+        # down comes out MIRRORED relative to the pristine template
+        # (main.cpp:386-412) and keeps that chirality after dissociating.
+        # A mirror through the template x=0 plane equals relabeling beads
+        # 3<->4 (up-site and bead 2 fixed), so relabel and carry the partner
+        # slots — identical physical state, proper rotation restored.
+        if np.linalg.det(m) < 0:
+            coords[[2, 3]] = coords[[3, 2]]
+            stats[2], stats[3] = stats[3], stats[2]
+            yv = (coords[1, 0] - center) / arm
+            zv = (coords[0, 1] - center) / rb
+            xv = np.cross(yv, zv)
+            m = np.stack([xv, yv, zv], axis=1)
+        # orthonormalize against %.3f rounding (proper rotation enforced)
         u, _, vt = np.linalg.svd(m)
-        m = u @ vt
+        sgn = np.sign(np.linalg.det(u @ vt))
+        m = u @ np.diag([1.0, 1.0, sgn]) @ vt
         b_quat[b] = _quat_from_mat(m)
         b_laid[b] = (
             abs(coords[0, 1, 2] - (center[2] + rb)) < 1e-2

@@ -78,6 +78,91 @@ def test_reference_cpt_roundtrip(tmp_path, small_cfg):
     assert_invariants(st2, cfg, "after cpt resume")
 
 
+def test_load_real_reference_cpt(ref_cfg):
+    """Interop proof (C6): a position.cpt written by the COMPILED REFERENCE
+    binary (main.cpp:2206-2244; snapshot at step 1,425,000 of a long golden
+    run) loads with exactly-matching topology and counters, and every bead
+    coordinate reproduced from poses within the %.3f rounding bound — up to
+    the reference's own lay-down bead-relabel chirality (see
+    load_reference_cpt)."""
+    import jax.numpy as jnp
+
+    from kmc_tpu.engine.observables import bond_counters
+
+    path = os.path.join(os.path.dirname(__file__), "data", "ref_position.cpt")
+    cfg = ref_cfg
+    st = load_reference_cpt(path, cfg)
+
+    toks = open(path).read().split()
+    total, rl, cis, mono, maxc, step = map(int, toks[-6:])
+    d_rl, d_mono, d_cis, d_total = (int(x) for x in bond_counters(st, cfg))
+    assert (d_rl, d_mono, d_cis, d_total) == (rl, mono, cis, total)
+    assert int(st.max_complex) == maxc
+    assert int(st.step) == step + 1                  # main.cpp:267 (+1)
+
+    # coordinate fidelity: re-derive all bead coordinates from poses and
+    # compare to the file's, allowing the beads-3<->4 relabel per ligand
+    p = np.asarray(positions(st, cfg))
+    it = iter(toks)
+    na, nb = cfg.n_a, cfg.n_b
+    ref_a = np.zeros((na, 4, 4, 3))
+    for i in range(na):
+        for j in range(4):
+            for k in range(4):
+                ref_a[i, j, k] = [float(next(it)) for _ in range(3)]
+        for _ in range(5):
+            next(it)
+    ref_b = np.zeros((nb, 4, 2, 3))
+    for b in range(nb):
+        for j in range(4):
+            for k in range(2):
+                ref_b[b, j, k] = [float(next(it)) for _ in range(3)]
+            next(it), next(it)
+    assert np.max(np.abs(p[:na, :, :4] - ref_a)) < 0.01
+    direct = np.abs(p[na:, :, :2] - ref_b).max(axis=(1, 2, 3))
+    relabeled = np.abs(p[na:, :, :2] - ref_b[:, [0, 1, 3, 2]]).max(
+        axis=(1, 2, 3)
+    )
+    assert np.max(np.minimum(direct, relabeled)) < 0.01
+    assert_invariants(st, cfg, "after real reference cpt load")
+
+    # and the loaded state steps without NaNs
+    st2, _ = make_step_fn(cfg)(st)
+    assert np.isfinite(np.asarray(st2.a_xy)).all()
+    assert np.isfinite(np.asarray(st2.b_center)).all()
+
+
+def test_mirrored_ligand_relabel(tmp_path, small_cfg):
+    """A cpt whose free ligand is an IMPROPER rotation of the template (the
+    reference's laid-then-dissociated chirality, main.cpp:1145-1190) loads
+    as the beads-3<->4 relabel with partner slots carried along."""
+    cfg = small_cfg
+    st = spread_state(cfg, 4)
+    p = os.path.join(tmp_path, "position.cpt")
+    save_reference_cpt(p, st, cfg)
+
+    # mirror ligand 0's beads through the template x=0 plane: swap the two
+    # coordinate lines of beads 3 and 4 (rows are '%10.3f'*3 triplets)
+    lines = open(p).read().splitlines()
+    first_b = cfg.n_a * 17                           # 16 coord + 1 topo rows
+    # ligand block rows: (bead j coords k=1,2; then status row) x 4
+    i3 = first_b + 2 * 3                             # bead 3 starts (j=2)
+    i4 = first_b + 3 * 3
+    lines[i3], lines[i4] = lines[i4], lines[i3]
+    lines[i3 + 1], lines[i4 + 1] = lines[i4 + 1], lines[i3 + 1]
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    st2 = load_reference_cpt(p, cfg)
+    pa = np.asarray(positions(st, cfg))
+    pb = np.asarray(positions(st2, cfg))
+    # loader restores the ORIGINAL bead assignment (mirror + relabel = id)
+    assert np.max(np.abs(pa[cfg.n_a] - pb[cfg.n_a])) < 0.05
+    np.testing.assert_array_equal(
+        np.asarray(st.b_partner), np.asarray(st2.b_partner)
+    )
+
+
 def test_cpt_counters_block(tmp_path, small_cfg):
     cfg = small_cfg
     st = _evolved_state(cfg, n=5)
