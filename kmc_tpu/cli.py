@@ -72,12 +72,26 @@ def main(argv=None):
                          "kernel)")
     ap.add_argument("--lattice-pallas", action="store_true",
                     help="lattice engine: use the fused Pallas TPU kernel")
+    ap.add_argument("--lattice-rf", action="store_true",
+                    help="lattice engine: rejection-free Gumbel-max event "
+                         "selection (--steps counts EVENTS; continuous time "
+                         "advances by Exp(1)/total_rate per event)")
     ap.add_argument("--out-every", type=int, default=None,
                     help="lattice engine output cadence (default 1000)")
     ap.add_argument("--resume", choices=["auto", "native", "reference", "none"],
                     default="auto")
+    ap.add_argument("--platform", choices=["default", "cpu", "tpu"],
+                    default="default",
+                    help="force the JAX backend (this container force-"
+                         "registers the TPU backend; --platform cpu makes "
+                         "small runs local and instant)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.engine == "lattice":
         return run_lattice(args)
@@ -157,15 +171,14 @@ def run_lattice(args) -> int:
     if fresh:
         state = init_lattice(lcfg, seed=args.seed)
 
-    if args.lattice_pallas:
-        from kmc_tpu.ops.pallas_lattice import make_pallas_lattice_step
+    if args.lattice_rf:
+        from kmc_tpu.lattice.rejection_free import make_rf_chunk
 
-        pstep = make_pallas_lattice_step(lcfg)
+        chunk = make_rf_chunk(lcfg, out_every)
+    elif args.lattice_pallas:
+        from kmc_tpu.ops.pallas_lattice import make_pallas_lattice_chunk
 
-        def chunk(s):
-            for _ in range(out_every):
-                s = pstep(s)
-            return s
+        chunk = make_pallas_lattice_chunk(lcfg, out_every)
     else:
         chunk = make_lattice_chunk(lcfg, out_every)
 

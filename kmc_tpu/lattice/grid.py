@@ -26,8 +26,11 @@ MAX_SPECIES = 8   # largest oligomer; association above this is gated off
 class LatticeState(NamedTuple):
     grid: jax.Array   # int32[H, W] oligomer size per cell (0 = empty)
     disp: jax.Array   # int32[H, W, 2] accumulated (dy, dx) of the occupant
-    step: jax.Array   # i32[]
+    step: jax.Array   # i32[] steps (fixed-dt) / events applied (rejection-free)
     seed: jax.Array   # i32[] stream seed for the per-cell counter hash
+    time: jax.Array   # f32[] simulated time in step units: fixed-dt advances
+    #   by 1 per step; rejection-free by Exp(1)/total_rate per event
+    #   (lattice/rejection_free.py) — the shared axis the two modes meet on
 
 
 def init_lattice(cfg: LatticeConfig, seed: int = 0,
@@ -47,6 +50,7 @@ def init_lattice(cfg: LatticeConfig, seed: int = 0,
         disp=jnp.zeros((h, w, 2), jnp.int32),
         step=jnp.zeros((), jnp.int32),
         seed=jnp.asarray(seed, jnp.int32),
+        time=jnp.zeros((), jnp.float32),
     )
 
 

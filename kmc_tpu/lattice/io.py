@@ -1,8 +1,9 @@
 """Lattice engine I/O: time series, checkpoints.
 
-``lattice.dat`` row: t(steps), particle count, MSD, species histogram
-1..MAX_SPECIES — the lattice analogue of bond.dat (oligomer size is the
-species, so the histogram IS the cluster-size distribution).
+``lattice.dat`` row: step (events in rejection-free mode), particle count,
+MSD, species histogram 1..MAX_SPECIES, simulated time — the lattice
+analogue of bond.dat (oligomer size is the species, so the histogram IS
+the cluster-size distribution).
 """
 
 from __future__ import annotations
@@ -29,7 +30,8 @@ def append_lattice_dat(path: str, state: LatticeState) -> None:
         f.write(
             f"{int(state.step)} {int(particle_count(state))} "
             f"{float(msd(state)):.4f} "
-            + " ".join(str(int(x)) for x in hist) + "\n"
+            + " ".join(str(int(x)) for x in hist)
+            + f" {float(state.time):.4f}\n"
         )
 
 
@@ -49,7 +51,11 @@ def save_lattice(path: str, state: LatticeState) -> None:
 
 def load_lattice(path: str) -> LatticeState:
     z = np.load(path)
-    return LatticeState(**{f: jnp.asarray(z[f]) for f in LatticeState._fields})
+    fields = {f: jnp.asarray(z[f]) for f in LatticeState._fields if f in z}
+    # checkpoints written before the continuous-time field: resume the
+    # time axis from the (fixed-dt) step counter
+    fields.setdefault("time", fields["step"].astype(jnp.float32))
+    return LatticeState(**fields)
 
 
 class LatticeOutputSet:

@@ -1,0 +1,190 @@
+"""Rejection-free (BKL/Gillespie) event selection for the lattice engine.
+
+The reference is a FIXED-TIMESTEP diffusion-reaction algorithm: every
+channel is tested against rate*dt each step (main.cpp:1918-1921, 2069-2071)
+and almost all draws are rejections — the serial rate scan of
+main.cpp:1877-2058 walks every pair every step.  The rejection-free mode
+replaces that scan with the TPU-native form called for by the BASELINE
+north star: build the dense per-site rate tensor, select the ONE firing
+event by **Gumbel-max** (argmax of log-rate + Gumbel noise — the standard
+reparameterization of categorical sampling, equivalent to the segmented
+prefix-sum inverse-CDF walk but a single fused reduction on device), and
+advance continuous time by Exp(1)/total_rate.  No step is ever wasted: in
+sparse/low-rate regimes (late-stage coarsening, small diss_prob) one event
+can leap what the fixed-dt engine spends thousands of steps rejecting
+through.
+
+Rates are expressed in per-step units matched to lattice/step.py's
+effective per-direction probabilities, so the two modes share one time
+axis (state.time) and one equilibrium:
+
+  hop(cell -> empty d-neighbor):   hop_prob / (4k)   [axis 1/2 x sign 1/2]
+  merge(cell absorbs d-neighbor):  ass_prob / 8      [direction 1/4 x parity 1/2]
+  split(cell ejects monomer to d): diss_prob / 8     [direction 1/4 x parity 1/2]
+
+Equilibrium equality between the modes is asserted statistically in
+tests/test_rejection_free.py.
+
+All randomness is the stateless counter hash (ops/hashing.py) keyed by the
+EVENT counter (state.step doubles as events-applied in this mode), so the
+trajectory is reproducible and vmappable across replicas via the seed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from kmc_tpu.config import LatticeConfig
+from kmc_tpu.lattice.grid import MAX_SPECIES, LatticeState
+from kmc_tpu.lattice.step import _DIRS
+
+# static python copy for trace-time loop unrolling (indexing the jnp
+# module constant under jit yields tracers)
+_DIR_TUPLES = ((0, 1), (1, 0), (0, -1), (-1, 0))
+from kmc_tpu.ops.hashing import cell_uniform, scalar_uniforms
+
+# Stream salts live in the same seed*16+stream space as lattice/step.py's
+# 0..4; Gumbel channels take 8..15 and the waiting-time draw takes 5, so
+# consecutive replica seeds (seed*16 apart) can never alias a neighbor's
+# stream (all salts are distinct mod 16).
+SALT_RF_GUMBEL = 8    # per-(cell, channel) Gumbel draws: 8..15
+SALT_RF_TIME = 5      # per-event exponential waiting-time draw
+
+_TINY = jnp.float32(1e-12)
+
+
+def event_rates(grid: jax.Array, cfg: LatticeConfig) -> jax.Array:
+    """Dense per-site rate tensor f32[8, H, W]: channels 0..3 = move/merge
+    toward _DIRS[c], channels 4..7 = monomer ejection toward _DIRS[c-4].
+    A move channel's rate is hop_prob/(4k) when the neighbor is empty and
+    ass_prob/8 when occupied and the merged size fits (else 0)."""
+    k = grid
+    occ = k > 0
+    hop = jnp.float32(0.25) * jnp.float32(cfg.hop_prob) / jnp.maximum(
+        k, 1
+    ).astype(jnp.float32)
+    mrg = jnp.float32(cfg.ass_prob / 8.0)
+    spl = jnp.float32(cfg.diss_prob / 8.0)
+
+    chans = []
+    for c in range(4):
+        dy, dx = _DIR_TUPLES[c]
+        nb = jnp.roll(k, shift=(-dy, -dx), axis=(0, 1))
+        can_hop = occ & (nb == 0)
+        can_mrg = occ & (nb > 0) & (k + nb <= MAX_SPECIES)
+        chans.append(
+            jnp.where(can_hop, hop, jnp.where(can_mrg, mrg, 0.0))
+        )
+    for c in range(4):
+        dy, dx = _DIR_TUPLES[c]
+        nb = jnp.roll(k, shift=(-dy, -dx), axis=(0, 1))
+        can_spl = (k >= 2) & (nb == 0)
+        chans.append(jnp.where(can_spl, spl, 0.0))
+    return jnp.stack(chans)
+
+
+def _gumbel_field(shape, step, salt):
+    u = cell_uniform(shape, step, salt)
+    return -jnp.log(-jnp.log(jnp.maximum(u, _TINY)))
+
+
+def rf_step(state: LatticeState, cfg: LatticeConfig) -> LatticeState:
+    """Apply ONE event: Gumbel-max winner over the full rate tensor, then
+    the corresponding move/merge/split, then time += Exp(1)/total_rate.
+    A state with zero total rate (fully jammed) is returned unchanged with
+    time advanced to +inf-free saturation (rate floor keeps dt finite)."""
+    h, w = state.grid.shape
+    rates = event_rates(state.grid, cfg)                   # [8, H, W]
+    total = jnp.sum(rates)
+
+    salt = state.seed * 16
+    scores = jnp.stack(
+        [
+            jnp.log(jnp.maximum(rates[c], _TINY))
+            + _gumbel_field((h, w), state.step, salt + SALT_RF_GUMBEL + c)
+            for c in range(8)
+        ]
+    )
+    scores = jnp.where(rates > 0, scores, -jnp.inf)
+    flat = jnp.argmax(scores)
+    c = flat // (h * w)
+    y = (flat % (h * w)) // w
+    x = flat % w
+
+    d = _DIRS[c % 4]
+    ty = jnp.mod(y + d[0], h)
+    tx = jnp.mod(x + d[1], w)
+
+    k = state.grid[y, x]
+    k2 = state.grid[ty, tx]
+    is_split = c >= 4
+    is_merge = (~is_split) & (k2 > 0)
+
+    # source cell: hop empties it, merge absorbs the neighbor INTO it
+    # (matching _react_substep's source-keeps convention), split loses 1
+    src_val = jnp.where(is_split, k - 1, jnp.where(is_merge, k + k2, 0))
+    tgt_val = jnp.where(is_split, 1, jnp.where(is_merge, 0, k))
+    grid = state.grid.at[y, x].set(src_val).at[ty, tx].set(tgt_val)
+
+    dvec = d.astype(jnp.int32)
+    sdisp = state.disp[y, x]
+    tdisp = state.disp[ty, tx]
+    # hop: displacement rides along; merge: absorbed neighbor's history
+    # dropped (source keeps its own, as in _react_substep); split: the
+    # ejected monomer inherits the parent's displacement
+    new_sdisp = jnp.where(is_split | is_merge, sdisp, jnp.zeros_like(sdisp))
+    new_tdisp = jnp.where(
+        is_split, sdisp, jnp.where(is_merge, jnp.zeros_like(tdisp),
+                                   sdisp + dvec)
+    )
+    disp = state.disp.at[y, x].set(new_sdisp).at[ty, tx].set(new_tdisp)
+
+    # no-event guard (total == 0): keep everything, freeze time advance
+    any_event = total > 0
+    grid = jnp.where(any_event, grid, state.grid)
+    disp = jnp.where(any_event, disp, state.disp)
+
+    u_t = scalar_uniforms(1, state.step, salt + SALT_RF_TIME)[0]
+    dt = -jnp.log(jnp.maximum(u_t, _TINY)) / jnp.maximum(total, _TINY)
+    dt = jnp.where(any_event, dt, 0.0)
+
+    return state._replace(
+        grid=grid,
+        disp=disp,
+        step=state.step + 1,
+        time=state.time + dt.astype(jnp.float32),
+    )
+
+
+def make_rf_step(cfg: LatticeConfig):
+    return jax.jit(functools.partial(rf_step, cfg=cfg))
+
+
+def make_rf_chunk(cfg: LatticeConfig, n_events: int):
+    """Jitted ``n_events``-event advance under one lax.scan."""
+
+    @jax.jit
+    def f(state: LatticeState) -> LatticeState:
+        def inner(st, _):
+            return rf_step(st, cfg), None
+
+        state, _ = jax.lax.scan(inner, state, None, length=n_events)
+        return state
+
+    return f
+
+
+def run_until(state: LatticeState, cfg: LatticeConfig, t_end: float,
+              chunk: int = 256) -> LatticeState:
+    """Advance events until state.time >= t_end (host loop over jitted
+    chunks; the final chunk may overshoot by O(chunk/total_rate))."""
+    f = make_rf_chunk(cfg, chunk)
+    while float(state.time) < t_end:
+        prev = float(state.time)
+        state = f(state)
+        if float(state.time) == prev:                     # fully jammed
+            break
+    return state

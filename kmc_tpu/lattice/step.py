@@ -173,7 +173,8 @@ def lattice_step(state: LatticeState, cfg: LatticeConfig,
     u_s = cell_uniform((h, w), state.step, salt + SALT_SPLIT, row0, col0, fh, fw)
     grid, disp = _react_substep(grid, disp, u_m, u_s, d_rct, par_rct, cfg)
 
-    return state._replace(grid=grid, disp=disp, step=state.step + 1)
+    return state._replace(grid=grid, disp=disp, step=state.step + 1,
+                          time=state.time + 1.0)
 
 
 def make_lattice_step(cfg: LatticeConfig):

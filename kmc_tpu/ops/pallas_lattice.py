@@ -132,16 +132,36 @@ def padded_block_call(cfg: LatticeConfig, grid, disp, step, seed,
     return jax.lax.switch(hop_axis * 4 + rct_dir, branches, scal, grid, disp)
 
 
+def pallas_lattice_step(state: LatticeState, cfg: LatticeConfig,
+                        interpret: bool | None = None) -> LatticeState:
+    """One fused-kernel step, trajectory-identical to lattice_step."""
+    dir_idx, par_off = step_controls(state)
+    grid, disp = padded_block_call(
+        cfg, state.grid, state.disp, state.step, state.seed,
+        dir_idx, par_off, jnp.int32(0), jnp.int32(0), interpret=interpret,
+    )
+    return state._replace(grid=grid, disp=disp, step=state.step + 1,
+                          time=state.time + 1.0)
+
+
 def make_pallas_lattice_step(cfg: LatticeConfig, interpret: bool | None = None):
     """Jitted fused-kernel step, trajectory-identical to lattice_step."""
+    return jax.jit(functools.partial(pallas_lattice_step, cfg=cfg,
+                                     interpret=interpret))
+
+
+def make_pallas_lattice_chunk(cfg: LatticeConfig, chunk: int,
+                              interpret: bool | None = None):
+    """Jitted ``chunk``-step advance of the fused kernel under one lax.scan —
+    the hot loop never leaves the device (one dispatch per chunk, matching
+    lattice/step.make_lattice_chunk; the CLI uses this, not a Python loop)."""
 
     @jax.jit
-    def step(state: LatticeState) -> LatticeState:
-        dir_idx, par_off = step_controls(state)
-        grid, disp = padded_block_call(
-            cfg, state.grid, state.disp, state.step, state.seed,
-            dir_idx, par_off, jnp.int32(0), jnp.int32(0), interpret=interpret,
-        )
-        return state._replace(grid=grid, disp=disp, step=state.step + 1)
+    def f(state: LatticeState) -> LatticeState:
+        def inner(st, _):
+            return pallas_lattice_step(st, cfg, interpret=interpret), None
 
-    return step
+        state, _ = jax.lax.scan(inner, state, None, length=chunk)
+        return state
+
+    return f

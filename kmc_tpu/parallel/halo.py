@@ -70,7 +70,8 @@ def make_halo_lattice_step(cfg, mesh):
         row0 = jax.lax.axis_index("x") * lh - 4
         col0 = jax.lax.axis_index("y") * lw - 4
         padded = LatticeState(
-            grid=halo_pad(grid, 4), disp=halo_pad(disp, 4), step=step, seed=seed
+            grid=halo_pad(grid, 4), disp=halo_pad(disp, 4), step=step,
+            seed=seed, time=jnp.zeros((), jnp.float32),
         )
         out = lattice_step(padded, cfg, row0=row0, col0=col0)
         return out.grid[4:-4, 4:-4], out.disp[4:-4, 4:-4]
@@ -85,7 +86,8 @@ def make_halo_lattice_step(cfg, mesh):
     @jax.jit
     def step(state: LatticeState) -> LatticeState:
         grid, disp = shmapped(state.grid, state.disp, state.step, state.seed)
-        return state._replace(grid=grid, disp=disp, step=state.step + 1)
+        return state._replace(grid=grid, disp=disp, step=state.step + 1,
+                             time=state.time + 1.0)
 
     return step
 
@@ -127,6 +129,7 @@ def make_halo_pallas_step(cfg, mesh, interpret: bool | None = None):
         dir_idx, par_off = step_controls(state)
         grid, disp = shmapped(state.grid, state.disp, state.step, state.seed,
                               dir_idx, par_off)
-        return state._replace(grid=grid, disp=disp, step=state.step + 1)
+        return state._replace(grid=grid, disp=disp, step=state.step + 1,
+                             time=state.time + 1.0)
 
     return step
