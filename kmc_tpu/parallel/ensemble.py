@@ -59,6 +59,31 @@ def make_ensemble_chunk(cfg: SimConfig, chunk: Optional[int] = None,
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
 
+def make_ensemble_chunk_hist(cfg: SimConfig, chunk: Optional[int] = None,
+                             donate: bool = True):
+    """Jitted vmapped multi-step advance returning (state, (obs, hist)) where
+    ``hist`` is the per-replica ligand-seeded cluster-size histogram
+    (engine.observables.cluster_histogram) at the final step — the on-device
+    form of the reference's cluster.log frames (main.cpp:2291-2305), used by
+    the statistical validator (scripts/validate_vs_reference.py clusters)."""
+    from kmc_tpu.engine.clusters import cluster_labels
+    from kmc_tpu.engine.observables import cluster_histogram
+
+    chunk = chunk or cfg.out_every
+
+    def chunk_one(state):
+        def inner(st, _):
+            return step_fn(st, cfg)
+
+        state, obs = jax.lax.scan(inner, state, None, length=chunk)
+        info = cluster_labels(state, cfg)
+        hist = cluster_histogram(info, cfg)
+        return state, (jax.tree.map(lambda x: x[-1], obs), hist)
+
+    f = jax.vmap(chunk_one)
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
 def merge_observables(obs):
     """Ensemble mean of each observable (psum-backed under sharding)."""
     return jax.tree.map(lambda x: jnp.mean(x.astype(jnp.float32), axis=0), obs)

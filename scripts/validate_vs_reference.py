@@ -9,6 +9,12 @@ Modes:
               each output time and column, the reference value must fall
               inside the ensemble's [lo, hi] quantile band (a single
               trajectory against its own distribution).
+  clusters  — cluster-size-distribution comparison: parse the reference
+              cluster.log frames (main.cpp:2291-2305 — one line per
+              ligand-seeded BFS row, token count = cluster size), histogram
+              them, and compare each frame's histogram against the ensemble's
+              per-replica cluster_histogram band, plus a distribution-level
+              total-variation check on the time-averaged tail.
   msd       — mean-squared-displacement curves extracted from test.gro
               trajectories (ours vs reference), compared to each other and
               to the analytic per-step displacement second moment
@@ -72,6 +78,32 @@ def read_gro_centers(path, n_a, n_b):
     return np.asarray(times), np.asarray(frames)
 
 
+def read_cluster_log(path, max_size):
+    """Parse a reference cluster.log into (times, hist[frames, max_size+1]):
+    each frame is one 'Hello Cluster!, t=...' header followed by one line per
+    ligand (empty line = ligand already visited by an earlier BFS row; token
+    count = cluster size, sizes >= max_size binned into the last slot), the
+    exact layout of main.cpp:2291-2305."""
+    times, hists = [], []
+    cur = None
+    with open(path) as f:
+        for line in f:
+            if line.startswith("Hello Cluster!"):
+                if cur is not None:
+                    hists.append(cur)
+                times.append(float(line.split("t=")[1]))
+                cur = np.zeros(max_size + 1, dtype=np.int64)
+                continue
+            if cur is None:
+                continue
+            n = len(line.split())
+            if n:
+                cur[min(n, max_size)] += 1
+    if cur is not None:
+        hists.append(cur)
+    return np.asarray(times), np.asarray(hists)
+
+
 def unwrap(traj, box_xy):
     """Undo periodic jumps frame-to-frame (valid when per-frame motion << box)."""
     d = np.diff(traj, axis=0)
@@ -86,51 +118,153 @@ def msd_curve(times, frames, box_xy):
     return times - times[0], np.mean(np.sum(disp**2, axis=-1), axis=1)
 
 
-def cmd_kinetics(args):
-    from kmc_tpu.config import SimConfig
-    from kmc_tpu.parallel.ensemble import init_ensemble, make_ensemble_chunk
+KIN_COLS = ["bond_rl", "bond_mono_cis", "bond_cis", "bond_num"]
 
-    ref = read_bond_dat(args.ref_bond)
-    if ref.size == 0:
-        sys.exit("reference bond.dat is empty")
-    cfg = SimConfig()
-    n_out = len(ref)
-    chunk = make_ensemble_chunk(cfg, cfg.out_every, donate=True)
-    state = init_ensemble(cfg, args.replicas, seed=args.seed)
 
-    cols = ["bond_rl", "bond_mono_cis", "bond_cis", "bond_num"]
-    ens = {c: [] for c in cols}
+def _run_ensemble(args, n_out, with_hist):
+    """Advance an ensemble n_out output intervals; returns
+    (kin[col] -> [n_out, replicas], hist[n_out, replicas, S+1] or None)."""
     import jax
 
-    for _ in range(n_out):
-        state, obs = chunk(state)
-        for c in cols:
-            ens[c].append(np.asarray(getattr(obs, c)))
+    from kmc_tpu.config import SimConfig
+    from kmc_tpu.parallel.ensemble import (
+        init_ensemble, make_ensemble_chunk, make_ensemble_chunk_hist)
+
+    cfg = SimConfig()
+    maker = make_ensemble_chunk_hist if with_hist else make_ensemble_chunk
+    chunk = maker(cfg, cfg.out_every, donate=True)
+    state = init_ensemble(cfg, args.replicas, seed=args.seed)
+
+    kin = {c: [] for c in KIN_COLS}
+    hists = []
+    for k in range(n_out):
+        state, out = chunk(state)
+        obs, hist = out if with_hist else (out, None)
+        for c in KIN_COLS:
+            kin[c].append(np.asarray(getattr(obs, c)))
+        if hist is not None:
+            hists.append(np.asarray(hist))
+        if (k + 1) % 10 == 0:
+            print(f"# ensemble output {k + 1}/{n_out}", file=sys.stderr,
+                  flush=True)
     jax.block_until_ready(state)
+    kin = {c: np.stack(v) for c, v in kin.items()}
+    return kin, (np.stack(hists) if hists else None)
+
+
+def _kinetics_report(kin, ref, args):
+    """Per-column quantile-band coverage of the single reference trajectory
+    within the ensemble's predictive band, with a binomial-tail acceptance
+    threshold instead of a flat cutoff: with nominal band mass (2q-1), the
+    observed inside-fraction over n_out (autocorrelated, so conservative
+    effective n = n_out/5) must not be improbably low (p > 1e-3)."""
+    from math import comb
 
     q = args.quantile
-    report = {"n_out": n_out, "replicas": args.replicas, "columns": {}}
+    n_out = len(ref)
+    report = {"n_out": n_out, "replicas": args.replicas, "quantile": q,
+              "columns": {}}
     ok_all = True
-    for ci, c in enumerate(cols):
-        samples = np.stack(ens[c])                   # [n_out, replicas]
+    for ci, c in enumerate(KIN_COLS):
+        samples = kin[c][:n_out]                     # [n_out, replicas]
         refv = ref[:n_out, 1 + ci]
         lo = np.quantile(samples, 1 - q, axis=1)
         hi = np.quantile(samples, q, axis=1)
         inside = (refv >= lo - 1e-9) & (refv <= hi + 1e-9)
         frac = float(np.mean(inside))
-        mean_err = float(
-            np.mean(np.abs(refv - samples.mean(1)))
-        )
-        ok = frac >= args.min_coverage
+        # binomial lower tail at effective sample size (lag-5 decorrelation)
+        n_eff = max(n_out // 5, 1)
+        k_eff = int(round(frac * n_eff))
+        p_nom = 2 * q - 1
+        p_tail = sum(comb(n_eff, k) * p_nom**k * (1 - p_nom) ** (n_eff - k)
+                     for k in range(k_eff + 1))
+        mean_err = float(np.mean(np.abs(refv - samples.mean(1))))
+        ok = frac >= args.min_coverage and p_tail > 1e-3
         ok_all &= ok
         report["columns"][c] = {
             "coverage": frac,
+            "binomial_tail_p": float(p_tail),
             "mean_abs_err_vs_ensemble_mean": mean_err,
             "ok": ok,
         }
     report["ok"] = bool(ok_all)
-    print(json.dumps(report, indent=1))
-    return 0 if ok_all else 1
+    return report
+
+
+def _clusters_report(hist_ens, ref_hists, args):
+    """Cluster-size-distribution comparison (the BASELINE north-star target):
+    (a) per-(time, size-bin) quantile-band coverage of the reference
+    histogram counts, and (b) a distribution-level check — total-variation
+    distance between the reference's tail-time-averaged size distribution
+    and the ensemble mean distribution must not exceed the 99th percentile
+    of the replicas' own TV distances from that mean (i.e. the reference
+    must look like one more replica)."""
+    n_out = min(len(ref_hists), len(hist_ens))
+    ens = hist_ens[:n_out].astype(np.float64)        # [n_out, reps, S+1]
+    ref = ref_hists[:n_out].astype(np.float64)
+
+    q = args.quantile
+    lo = np.quantile(ens, 1 - q, axis=1)
+    hi = np.quantile(ens, q, axis=1)
+    inside = (ref >= lo - 1e-9) & (ref <= hi + 1e-9)
+    coverage = float(np.mean(inside))
+
+    tail = slice(n_out // 2, n_out)                  # steady-state half
+    def tv(p, m):
+        return 0.5 * np.sum(np.abs(p - m), axis=-1)
+
+    def norm(h):
+        s = h.sum(axis=-1, keepdims=True)
+        return h / np.maximum(s, 1e-12)
+
+    ref_dist = norm(ref[tail].mean(axis=0))          # [S+1]
+    rep_dists = norm(ens[tail].mean(axis=0))         # [reps, S+1]
+    mean_dist = rep_dists.mean(axis=0)
+    ref_tv = float(tv(ref_dist, mean_dist))
+    rep_tv = tv(rep_dists, mean_dist)
+    tv_thresh = float(np.quantile(rep_tv, 0.99))
+
+    ok = coverage >= args.min_coverage and ref_tv <= max(tv_thresh, 1e-6)
+    return {
+        "n_out": n_out,
+        "bin_coverage": coverage,
+        "ref_tv_vs_ensemble_mean": ref_tv,
+        "replica_tv_p99": tv_thresh,
+        "ref_tail_dist": [round(float(x), 4) for x in ref_dist],
+        "ens_tail_dist": [round(float(x), 4) for x in mean_dist],
+        "ok": bool(ok),
+    }
+
+
+def cmd_kinetics(args):
+    ref = read_bond_dat(args.ref_bond)
+    if ref.size == 0:
+        sys.exit("reference bond.dat is empty")
+    if args.max_rows:
+        ref = ref[: args.max_rows]
+
+    from kmc_tpu.engine.observables import MAX_HIST_SIZE
+
+    ref_hists = None
+    if args.ref_cluster:
+        _, ref_hists = read_cluster_log(args.ref_cluster, MAX_HIST_SIZE)
+        if args.max_rows:
+            ref_hists = ref_hists[: args.max_rows]
+
+    kin, hist_ens = _run_ensemble(args, len(ref), with_hist=ref_hists
+                                  is not None)
+    report = {"kinetics": _kinetics_report(kin, ref, args)}
+    ok = report["kinetics"]["ok"]
+    if ref_hists is not None:
+        report["clusters"] = _clusters_report(hist_ens, ref_hists, args)
+        ok = ok and report["clusters"]["ok"]
+    report["ok"] = bool(ok)
+    txt = json.dumps(report, indent=1)
+    print(txt)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt + "\n")
+    return 0 if ok else 1
 
 
 def cmd_msd(args):
@@ -170,10 +304,16 @@ def main():
     sub = ap.add_subparsers(dest="mode", required=True)
     k = sub.add_parser("kinetics")
     k.add_argument("--ref-bond", required=True)
+    k.add_argument("--ref-cluster", default=None,
+                   help="reference cluster.log; adds the cluster-size-"
+                        "distribution comparison to the same run")
     k.add_argument("--replicas", type=int, default=64)
     k.add_argument("--seed", type=int, default=0)
     k.add_argument("--quantile", type=float, default=0.995)
     k.add_argument("--min-coverage", type=float, default=0.9)
+    k.add_argument("--max-rows", type=int, default=0,
+                   help="compare only the first N reference outputs")
+    k.add_argument("--out", default=None, help="also write the report here")
     m = sub.add_parser("msd")
     m.add_argument("--ref-gro", required=True)
     m.add_argument("--our-gro", default=None)
