@@ -33,10 +33,14 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
         coordinator = os.environ.get("KMC_COORDINATOR")
     if coordinator is None:
         return                                    # single-host
+    if num_processes is None:
+        num_processes = int(os.environ["KMC_NUM_PROCESSES"])
+    if process_id is None:                        # NB: 0 is a valid id
+        process_id = int(os.environ["KMC_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes or int(os.environ["KMC_NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["KMC_PROCESS_ID"]),
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 
@@ -64,6 +68,14 @@ def host_local_ensemble(cfg, replicas_per_host: int, seed: int | None = None):
     total = replicas_per_host * nproc
 
     def assemble(x):
+        # PRNG-key leaves can't round-trip through numpy: assemble the
+        # underlying uint32 key data, then reinterpret as keys
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            data = jax.random.key_data(x)
+            glob = jax.make_array_from_process_local_data(
+                sharding, np.asarray(data), (total,) + data.shape[1:]
+            )
+            return jax.random.wrap_key_data(glob)
         return jax.make_array_from_process_local_data(
             sharding, np.asarray(x), (total,) + x.shape[1:]
         )
