@@ -125,12 +125,15 @@ def _collision_revert(state: SimState, prop: SimState, info: ClusterInfo,
     rej = cluster_reject(p_new, p_new, info.label, cfg) & changed
     keep = ~rej[info.label]                               # per molecule
 
+    # reverted clusters stay un-idealized -> retried next step; a revert-
+    # free pass leaves every active cluster at ideal geometry (clean)
     return state._replace(
         a_xy=jnp.where(keep[:na, None], prop.a_xy, state.a_xy),
         a_psi=jnp.where(keep[:na], prop.a_psi, state.a_psi),
         b_center=jnp.where(keep[na:, None], prop.b_center, state.b_center),
         b_quat=jnp.where(keep[na:, None], prop.b_quat, state.b_quat),
         b_laid=jnp.where(keep[na:], prop.b_laid, state.b_laid),
+        dirty=jnp.any(rej),
     )
 
 
@@ -245,10 +248,13 @@ def idealize(state: SimState, info: ClusterInfo, skey, cfg: SimConfig) -> SimSta
     rej = cluster_reject(p_new, p_new, info.label, cfg) & changed
     keep = ~rej[info.label]                               # per molecule
 
+    # reverted clusters stay un-idealized -> retried next step; a revert-
+    # free pass leaves every active cluster at ideal geometry (clean)
     return state._replace(
         a_xy=jnp.where(keep[:na, None], prop.a_xy, state.a_xy),
         a_psi=jnp.where(keep[:na], prop.a_psi, state.a_psi),
         b_center=jnp.where(keep[na:, None], prop.b_center, state.b_center),
         b_quat=jnp.where(keep[na:, None], prop.b_quat, state.b_quat),
         b_laid=jnp.where(keep[na:], prop.b_laid, state.b_laid),
+        dirty=jnp.any(rej),
     )

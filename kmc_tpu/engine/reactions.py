@@ -233,6 +233,13 @@ def react(state: SimState, skey, cfg: SimConfig,
     brk = brk | cis_unbind(k, rp.p_cis_diss, has_cis & ~both_free)
     a_cis = jnp.where(brk, -1, a_cis)
 
+    # any topology change means geometry needs (re-)idealization next step
+    changed = (
+        jnp.any(a_trans != state.a_trans)
+        | jnp.any(a_cis != state.a_cis)
+        | jnp.any(b_partner != state.b_partner)
+    )
     return state._replace(
-        a_trans=a_trans, a_site=a_site, a_cis=a_cis, b_partner=b_partner
+        a_trans=a_trans, a_site=a_site, a_cis=a_cis, b_partner=b_partner,
+        dirty=state.dirty | changed,
     )

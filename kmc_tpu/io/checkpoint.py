@@ -51,7 +51,10 @@ def save_native(path: str, state: SimState) -> None:
 def load_native(path: str) -> SimState:
     z = np.load(path)
     key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
-    fields = {f: jnp.asarray(z[f]) for f in SimState._fields if f != "key"}
+    fields = {f: jnp.asarray(z[f])
+              for f in SimState._fields if f != "key" and f in z}
+    # checkpoints written before the dirty flag: force one idealize pass
+    fields.setdefault("dirty", jnp.ones(fields["step"].shape, bool))
     return SimState(key=key, **fields)
 
 

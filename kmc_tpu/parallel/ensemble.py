@@ -59,6 +59,93 @@ def make_ensemble_chunk(cfg: SimConfig, chunk: Optional[int] = None,
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
 
+def lazy_ensemble_step(state: SimState, cfg: SimConfig, k_align: int):
+    """One ensemble step where the idealize stage runs only on the
+    ``k_align`` most-dirty replicas (event-driven alignment).
+
+    Idealize is a geometric no-op on clean replicas (align.py: a fully
+    idealized cluster is a fixed point of the snap sweep), and replicas are
+    dirty only in the step after a topology change or an align revert
+    (state.dirty) — rare at steady state.  Gather the K dirtiest replicas,
+    align just those, scatter back: the align stage's cost drops by R/K
+    while every dirty replica is still aligned before its next reactions,
+    the same one-step deferral the eager path already has (align runs
+    before react inside a step, so a bond formed at step t is snapped at
+    t+1 in BOTH paths).  If more than K replicas are dirty (only under
+    event bursts, e.g. the first steps after a cold start) the overflow is
+    aligned on subsequent steps, rotation-prioritized to prevent
+    starvation."""
+    from kmc_tpu import rng as _r
+    from kmc_tpu.engine.align import idealize, idealize_fused
+    from kmc_tpu.engine.clusters import cluster_labels
+    from kmc_tpu.engine.diffusion import diffuse
+    from kmc_tpu.engine.observables import cluster_stats, observe
+    from kmc_tpu.engine.reactions import react
+    from kmc_tpu.engine.step import step_fn
+
+    n_rep = state.step.shape[0]
+    k_align = min(k_align, n_rep)
+
+    def start(s):
+        skey = _r.step_key(s.key, s.step)
+        info = cluster_labels(s, cfg)
+        _, max_b = cluster_stats(info, cfg)
+        s2 = diffuse(s, info, _r.stream_key(skey, _r.STREAM_MOVE), cfg)
+        return s2, info, jnp.maximum(s.max_complex, max_b)
+
+    s1, info, max_c = jax.vmap(start)(state)
+
+    # ---- gather the K dirtiest replicas (rotation tiebreak, no starvation)
+    rot = (jnp.arange(n_rep) + state.step[0] * 7919) % n_rep
+    order = jnp.argsort(jnp.where(s1.dirty, 0, n_rep * 2) + rot)
+    idx = order[:k_align]
+    sub = jax.tree.map(lambda x: x[idx], s1)
+
+    def align_one(s):
+        skey = _r.step_key(s.key, s.step)
+        inf = cluster_labels(s, cfg)
+        f = idealize_fused if cfg.fused_align else idealize
+        return f(s, inf, _r.stream_key(skey, _r.STREAM_ALIGN), cfg)
+
+    sub2 = jax.vmap(align_one)(sub)
+
+    def scatter(field):
+        return getattr(s1, field).at[idx].set(getattr(sub2, field))
+
+    s2 = s1._replace(
+        a_xy=scatter("a_xy"), a_psi=scatter("a_psi"),
+        b_center=scatter("b_center"), b_quat=scatter("b_quat"),
+        b_laid=scatter("b_laid"), dirty=scatter("dirty"),
+    )
+
+    def finish(s, inf, mc):
+        skey = _r.step_key(s.key, s.step)
+        s3 = react(s, skey, cfg)
+        s3 = s3._replace(step=s.step + 1, max_complex=mc)
+        return s3, observe(s3, inf, cfg)
+
+    return jax.vmap(finish)(s2, info, max_c)
+
+
+def make_lazy_ensemble_chunk(cfg: SimConfig, chunk: Optional[int] = None,
+                             k_align: Optional[int] = None,
+                             donate: bool = True):
+    """Jitted multi-step advance with event-driven (lazy) alignment.
+    k_align defaults to max(replicas//8, 32)."""
+    chunk = chunk or cfg.out_every
+
+    def f(state):
+        k = k_align or max(state.step.shape[0] // 8, 32)
+
+        def inner(st, _):
+            return lazy_ensemble_step(st, cfg, k)
+
+        state, obs = jax.lax.scan(inner, state, None, length=chunk)
+        return state, jax.tree.map(lambda x: x[-1], obs)
+
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
 def make_ensemble_chunk_hist(cfg: SimConfig, chunk: Optional[int] = None,
                              donate: bool = True):
     """Jitted vmapped multi-step advance returning (state, (obs, hist)) where

@@ -64,6 +64,11 @@ class SimState(NamedTuple):
     max_complex: jax.Array  # i32[] running max B-seeded cluster size
     step: jax.Array         # i32[] current MC step (1-based like the reference)
     key: jax.Array          # PRNG base key (typed key array)
+    dirty: jax.Array        # bool[] geometry may be un-idealized: set by
+    #   react on topology change and by align on collision revert, cleared
+    #   by a revert-free idealize.  Lets the ensemble driver run the align
+    #   stage only on replicas that need it (parallel/ensemble.py lazy path);
+    #   a clean replica's idealize is a geometric no-op (align.py docstring).
 
 
 def empty_state(cfg: SimConfig, key) -> SimState:
@@ -80,6 +85,7 @@ def empty_state(cfg: SimConfig, key) -> SimState:
         max_complex=jnp.zeros((), jnp.int32),
         step=jnp.ones((), jnp.int32),
         key=key,
+        dirty=jnp.ones((), bool),
     )
 
 
