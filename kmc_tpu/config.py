@@ -85,6 +85,18 @@ class SimConfig:
     sin_weighted_theta: bool = False   # reference quirk #3: ligand 3D direction
     #   uses theta = U*pi (pole-oversampled, main.cpp:910). False replicates the
     #   reference; True samples cos(theta) uniformly (physically isotropic).
+    sweep_collisions: bool = True      # collision resolution emulates the
+    #   reference's Gauss-Seidel sweep (main.cpp:577-1872) via random cluster
+    #   priorities: later movers see earlier movers' NEW placements, earlier
+    #   movers see later movers' OLD placements, + a monotone cleanup loop
+    #   guaranteeing the no-overlap invariant.  False = the round-1 symmetric
+    #   rule (reject on overlap with ANY placement, old or new, of any other
+    #   cluster), which double-counts mover-mover collisions and accepts
+    #   strictly fewer moves.  Controlled same-snapshot continuations of the
+    #   reference give saturated-state MSD our/ref = 1.08 (sweep) vs 1.03
+    #   (symmetric) — both within estimator noise at reference density
+    #   (VALIDATION_r02_msd.json); the sweep rule is default for fidelity of
+    #   the acceptance semantics, not for a measured kinetics difference.
 
     # ------------------------------------------------------------------
     @property

@@ -12,11 +12,16 @@ round:
     class — the same classes and diffusion constants as the reference,
     including the >=2-ligand freeze (main.cpp:984-985, 1082-1083);
 2.  all proposals are applied to poses in parallel;
-3.  collisions are evaluated for all cluster pairs at once — a proposal is
-    rejected if it overlaps any *other* cluster in either that cluster's
-    proposed or current placement (a symmetric, slightly stricter variant
-    of the reference's order-dependent scan; acceptance statistics agree at
-    reference densities where multi-cluster conflicts are rare);
+3.  collisions are evaluated for all cluster pairs at once.  Default
+    (``sweep_collisions=True``): random per-cluster priorities emulate the
+    reference's sweep order — a mover checks the NEW placement of clusters
+    that drew an earlier slot and the OLD placement of later ones, with
+    refinement rounds for rejection chains and a monotone revert loop that
+    certifies the no-overlap invariant.  ``False`` restores the round-1
+    symmetric rule (reject on overlap with any old or new placement),
+    which double-counts mover-mover collisions (strictly fewer
+    acceptances; same-snapshot reference continuations in
+    VALIDATION_r02_msd.json);
 4.  rejected clusters revert as a unit (reference revert, :666-674,
     :851-863, :1831-1860).
 
@@ -128,7 +133,8 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
     moving = (d > 0) | (rot_d > 0)
 
     # --- per-cluster draws (rows indexed by cluster label) ---
-    u = jax.random.uniform(skey, (n, 6))
+    n_draw = 7 if cfg.sweep_collisions else 6
+    u = jax.random.uniform(skey, (n, n_draw))
     u_amp = u[label, 0]
     phai = u[label, 1] * 2.0 * jnp.pi
     if cfg.sin_weighted_theta:
@@ -207,7 +213,50 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
     # --- collision resolution (C15) ---
     p = positions(prop, cfg)
     c = positions(state, cfg)
-    rej = cluster_reject(p, p, label, cfg) | cluster_reject(p, c, label, cfg)
+    if cfg.sweep_collisions:
+        # Gauss-Seidel sweep emulation (main.cpp:577-1872): random cluster
+        # priorities stand in for the reference's sweep order.  A mover
+        # checks NEW placements of clusters that "already moved" (lower
+        # priority draw) and OLD placements of clusters still to move —
+        # exactly the mix of updated/stale positions a sequential sweep
+        # sees.  Two refinement rounds resolve rejection chains (an earlier
+        # mover that itself got rejected is back at its OLD placement), and
+        # a monotone revert loop then certifies the hard no-overlap
+        # invariant on the final mixed configuration (while_loop: each
+        # round only shrinks the accepted set, so it terminates).
+        hit_nn = collide_matrix(p, p, cfg)
+        hit_no = collide_matrix(p, c, cfg)
+        cross = label[:, None] != label[None, :]
+        pri = u[label, 6]                         # per-cluster sweep order
+        earlier = pri[None, :] < pri[:, None]     # [i, j]: j moves before i
+        moved_l = seg_max(moving, label, n)       # per label
+
+        def sweep_round(acc_l):
+            accm = (acc_l & moved_l)[label]
+            bad = jnp.where(earlier & accm[None, :], hit_nn, hit_no)
+            mol_bad = jnp.any(bad & cross, axis=1)
+            return ~seg_max(mol_bad, label, n)
+
+        acc = sweep_round(jnp.ones((n,), bool))
+        acc = sweep_round(acc)
+        acc = sweep_round(acc)
+
+        def body(carry):
+            acc_l, _ = carry
+            okm = (acc_l[label]) & moving
+            final = jnp.where(okm[:, None, None, None], p, c)
+            hit = collide_matrix(final, final, cfg)
+            mol_bad = jnp.any(hit & cross, axis=1)
+            bad_l = seg_max(mol_bad, label, n) & acc_l & moved_l
+            return acc_l & ~bad_l, ~jnp.any(bad_l)
+
+        acc, _ = jax.lax.while_loop(
+            lambda cy: ~cy[1], body, (acc, jnp.array(False))
+        )
+        rej = ~acc
+    else:
+        # round-1 symmetric rule (stricter: double-counts collisions)
+        rej = cluster_reject(p, p, label, cfg) | cluster_reject(p, c, label, cfg)
     ok = (~rej[label]) & moving                                    # per molecule
 
     sel2 = ok[:na, None]

@@ -41,7 +41,11 @@ def step_fn(state: SimState, cfg: SimConfig, rp=None):
     max_c = jnp.maximum(state.max_complex, max_b)
 
     st = diffuse(state, info, rng.stream_key(skey, rng.STREAM_MOVE), cfg, rp)
-    align = idealize_fused if cfg.fused_align else idealize
+    # the fused Pallas core only pays off on real TPU hardware; off-TPU it
+    # would run in interpret mode (minutes of compile for zero benefit), so
+    # fall back to the numerically-equivalent XLA path there
+    use_fused = cfg.fused_align and jax.default_backend() == "tpu"
+    align = idealize_fused if use_fused else idealize
     st = align(st, info, rng.stream_key(skey, rng.STREAM_ALIGN), cfg)
     st = react(st, skey, cfg, rp)
     st = st._replace(step=state.step + 1, max_complex=max_c)

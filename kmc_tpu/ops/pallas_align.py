@@ -232,13 +232,18 @@ def _align_kernel(a_xy_ref, a_dir_ref, b_center_ref, b_quat_ref,
     out_b_laid[:] = b_laid_new
 
 
-def align_core(state, is_root, act, cfg: SimConfig, interpret=None):
-    """Run the fused idealize core for ONE replica (vmap for ensembles).
-    Returns (a_xy, a_psi, b_center, b_quat, b_laid)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+@functools.lru_cache(maxsize=None)
+def _core_for(cfg: SimConfig, interpret: bool):
+    """custom_vmap'd fused core: unbatched calls run the single-replica
+    kernel above; a vmapped call (the ensemble path) dispatches to the
+    replica-batched kernel (ops/pallas_align_batched.py) instead of the
+    default grid-per-replica rule — Mosaic runs grids sequentially, so the
+    per-replica grid was latency-bound (measured ~30 ms of a 38.5 ms step
+    at batch 256)."""
+    from kmc_tpu.ops.pallas_align_batched import align_core_batched
+
     na, nb, n = cfg.n_a, cfg.n_b, cfg.n
-    call = pl.pallas_call(
+    single = pl.pallas_call(
         functools.partial(_align_kernel, cfg=cfg),
         out_shape=(
             jax.ShapeDtypeStruct((na, 2), jnp.float32),
@@ -252,23 +257,58 @@ def align_core(state, is_root, act, cfg: SimConfig, interpret=None):
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
         interpret=interpret,
     )
+
+    @jax.custom_batching.custom_vmap
+    def core(a_xy, a_dir, b_center, b_quat, a_trans, a_site, a_cis,
+             b_partner, b_laid, is_root, act, tmpl):
+        a_xy, a_dir, a_snap, b_center, b_quat, b_laid = single(
+            a_xy, a_dir, b_center, b_quat,
+            a_trans[:, None], a_site[:, None], a_cis[:, None], b_partner,
+            b_laid[:, None], is_root[:, None], act[:, None], tmpl,
+        )
+        return (a_xy, a_dir, a_snap[:, 0], b_center, b_quat, b_laid[:, 0])
+
+    @core.def_vmap
+    def _core_vmap(axis_size, in_batched, *args):
+        tmpl = args[-1]
+        if in_batched[-1]:                    # template never varies
+            tmpl = tmpl[0]
+        bargs = [
+            x if bat else jnp.broadcast_to(x[None], (axis_size, *x.shape))
+            for x, bat in zip(args[:-1], in_batched[:-1])
+        ]
+        outs = align_core_batched(*bargs, tmpl, cfg, interpret=interpret)
+        return outs, tuple(True for _ in outs)
+
+    return core
+
+
+def align_core(state, is_root, act, cfg: SimConfig, interpret=None):
+    """Run the fused idealize core for ONE replica (vmap for ensembles —
+    batched calls run a replica-blocked kernel via custom_vmap).
+    Returns (a_xy, a_psi, b_center, b_quat, b_laid)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     a_dir_in = jnp.stack(
         [jnp.cos(state.a_psi), jnp.sin(state.a_psi)], axis=-1
     )
-    a_xy, a_dir, a_snap, b_center, b_quat, b_laid = call(
+    core = _core_for(cfg, interpret)
+    a_xy, a_dir, a_snap_v, b_center, b_quat, b_laid_v = core(
         state.a_xy,
         a_dir_in,
         state.b_center,
         state.b_quat,
-        state.a_trans[:, None],
-        state.a_site[:, None],
-        state.a_cis[:, None],
+        state.a_trans,
+        state.a_site,
+        state.a_cis,
         state.b_partner,
-        state.b_laid[:, None].astype(jnp.int32),
-        is_root[:, None].astype(jnp.int32),
-        act[:, None].astype(jnp.int32),
+        state.b_laid.astype(jnp.int32),
+        is_root.astype(jnp.int32),
+        act.astype(jnp.int32),
         ligand_template(cfg),
     )
+    a_snap = a_snap_v[:, None]
+    b_laid = b_laid_v[:, None]
     # ψ reconstruction happens in XLA (Mosaic has no atan2); un-snapped
     # receptors keep their state ψ bitwise.
     a_psi = jnp.where(

@@ -104,7 +104,10 @@ def lazy_ensemble_step(state: SimState, cfg: SimConfig, k_align: int):
     def align_one(s):
         skey = _r.step_key(s.key, s.step)
         inf = cluster_labels(s, cfg)
-        f = idealize_fused if cfg.fused_align else idealize
+        # fused core only on real TPU (interpret mode off-TPU is pure cost;
+        # see engine/step.step_fn)
+        use_fused = cfg.fused_align and jax.default_backend() == "tpu"
+        f = idealize_fused if use_fused else idealize
         return f(s, inf, _r.stream_key(skey, _r.STREAM_ALIGN), cfg)
 
     sub2 = jax.vmap(align_one)(sub)

@@ -273,6 +273,18 @@ def cmd_msd(args):
     cfg = SimConfig()
     box = (cfg.cell_range_x, cfg.cell_range_y)
     t_ref, ref_frames = read_gro_centers(args.ref_gro, cfg.n_a, cfg.n_b)
+    if args.ref_t0 is not None or args.ref_t1 is not None:
+        t0 = args.ref_t0 if args.ref_t0 is not None else -np.inf
+        t1 = args.ref_t1 if args.ref_t1 is not None else np.inf
+        m = (t_ref >= t0) & (t_ref <= t1)
+        t_ref, ref_frames = t_ref[m], ref_frames[m]
+    if args.tail_frac:
+        # fit over the trailing window only (steady binding state), with
+        # displacements re-zeroed at the window start — so a reference
+        # trajectory deep into binding saturation is compared like-for-like
+        # against a continuation run that STARTS saturated.
+        k = max(int(len(t_ref) * (1 - args.tail_frac)), 0)
+        t_ref, ref_frames = t_ref[k:], ref_frames[k:]
     tt, mm = msd_curve(t_ref, ref_frames, box)
 
     if args.our_gro:
@@ -291,12 +303,23 @@ def cmd_msd(args):
         report["ref_msd_per_step"] = ref_slope
         report["analytic_msd_per_step"] = slope
         report["ref_vs_analytic"] = ref_slope / slope
+    ok = True
     if mo is not None and len(to) > 1:
         our_slope = float(np.polyfit(to[1:] / cfg.time_step, mo[1:], 1)[0])
         report["our_msd_per_step"] = our_slope
         report["our_vs_analytic"] = our_slope / slope
-    print(json.dumps(report, indent=1))
-    return 0
+        if "ref_msd_per_step" in report:
+            r = our_slope / report["ref_msd_per_step"]
+            report["our_vs_ref"] = r
+            ok = bool(abs(r - 1.0) <= args.rtol)
+            report["rtol"] = args.rtol
+            report["ok"] = ok
+    txt = json.dumps(report, indent=1)
+    print(txt)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt + "\n")
+    return 0 if ok else 1
 
 
 def main():
@@ -317,6 +340,17 @@ def main():
     m = sub.add_parser("msd")
     m.add_argument("--ref-gro", required=True)
     m.add_argument("--our-gro", default=None)
+    m.add_argument("--ref-t0", type=float, default=None,
+                   help="restrict reference frames to t >= this (ns)")
+    m.add_argument("--ref-t1", type=float, default=None,
+                   help="restrict reference frames to t <= this (ns)")
+    m.add_argument("--tail-frac", type=float, default=0.0,
+                   help="fit the reference slope over only the last FRAC of "
+                        "frames (steady binding state, for comparing against "
+                        "a checkpoint-continuation run)")
+    m.add_argument("--rtol", type=float, default=0.25,
+                   help="pass threshold on |our/ref - 1| when both given")
+    m.add_argument("--out", default=None, help="also write the report here")
     args = ap.parse_args()
     if args.mode == "kinetics":
         sys.exit(cmd_kinetics(args))

@@ -51,7 +51,10 @@ def test_free_receptor_msd(small_cfg):
 
 
 def test_free_ligand_msd_3d(small_cfg):
-    cfg = small_cfg.replace(n_a=2, cell_range_z=100000.0)  # no z boundary
+    # 32 ligands: the MSD estimator averages total displacements, so its
+    # relative SD is ~sqrt(2/(3*n_b)) — 8 ligands (~29%) flaked against a
+    # 35% band on RNG-stream changes; 32 gives ~14%.
+    cfg = small_cfg.replace(n_a=2, n_b=32, cell_range_z=100000.0)
     st = spread_state(cfg, 0)
     n_steps = 100
     c0 = np.asarray(st.b_center)
@@ -82,12 +85,40 @@ def test_receptors_stay_wrapped(small_cfg):
 
 
 def test_no_overlap_after_many_steps(small_cfg):
-    # dense box to provoke collisions
-    cfg = small_cfg.replace(cell_range_x=700.0, cell_range_y=700.0,
-                            cell_range_z=400.0)
-    st = spread_state(cfg, 1)
-    st = _diffuse_steps(st, cfg, 100)
-    assert_invariants(st, cfg, "after dense diffusion")
+    # dense box to provoke collisions; both collision-resolution rules must
+    # certify the hard no-overlap invariant (the sweep rule via its monotone
+    # cleanup loop)
+    for sweep in (True, False):
+        cfg = small_cfg.replace(cell_range_x=700.0, cell_range_y=700.0,
+                                cell_range_z=400.0, sweep_collisions=sweep)
+        st = spread_state(cfg, 1)
+        st = _diffuse_steps(st, cfg, 100)
+        assert_invariants(st, cfg, f"after dense diffusion (sweep={sweep})")
+
+
+def test_sweep_collisions_accept_at_least_symmetric(small_cfg):
+    """The Gauss-Seidel sweep emulation must accept at least as many moves
+    as the round-1 symmetric rule (it checks a strict subset of placements:
+    one of {old, new} per other cluster instead of both) — measured over a
+    dense run where collisions actually happen."""
+    accepted = {}
+    for sweep in (True, False):
+        cfg = small_cfg.replace(cell_range_x=450.0, cell_range_y=450.0,
+                                cell_range_z=200.0, sweep_collisions=sweep)
+        st = spread_state(cfg, 2)
+        n_acc = 0
+        prev = np.concatenate(
+            [np.asarray(st.a_xy), np.asarray(st.b_center[:, :2])])
+        for s in range(60):
+            st = _diffuse_steps(st, cfg, 1, start=s)
+            cur = np.concatenate(
+                [np.asarray(st.a_xy), np.asarray(st.b_center[:, :2])])
+            n_acc += int(np.sum(np.any(cur != prev, axis=1)))
+            prev = cur
+        accepted[sweep] = n_acc
+    # the two rules draw different streams (the sweep rule consumes an extra
+    # priority column), so compare statistically with slack
+    assert accepted[True] >= 0.95 * accepted[False], accepted
 
 
 def test_frozen_complex_does_not_move(small_cfg):

@@ -110,3 +110,54 @@ def test_fused_vmapped(small_cfg):
 
     out = jax.vmap(one)(ens)
     assert out.a_xy.shape == ens.a_xy.shape
+
+
+def test_batched_kernel_matches_xla_with_bonds(small_cfg):
+    """The vmapped fused core dispatches to the replica-BATCHED kernel
+    (ops/pallas_align_batched.py via custom_vmap); it must match the XLA
+    idealize on replicas with real bond topologies — trans pairs, unlaid
+    ligands, merged complexes, cis pairs — including a batch size that
+    needs padding to the block size."""
+    import jax.numpy as jnp
+
+    cfg = small_cfg
+    variants = []
+    # perturbed trans pair
+    st = spread_state(cfg, 0)
+    st = ideal_trans_pair(st, a=0, b=0, site=1, cfg=cfg, bond=True)
+    variants.append(st._replace(
+        a_xy=st.a_xy.at[0].add(jnp.asarray([4.0, -3.0])),
+        a_psi=st.a_psi.at[0].add(0.3),
+    ))
+    # unlaid ligand
+    from kmc_tpu.geometry import quat_from_euler, quat_mul
+    st2 = ideal_trans_pair(spread_state(cfg, 1), a=2, b=1, site=2, cfg=cfg,
+                           bond=True)
+    variants.append(st2._replace(
+        b_quat=st2.b_quat.at[1].set(
+            quat_mul(quat_from_euler(0.4, 0.2, 0.1), st2.b_quat[1])
+        ),
+        b_laid=st2.b_laid.at[1].set(False),
+        b_center=st2.b_center.at[1, 2].add(17.0),
+    ))
+    # perturbed cis pair
+    st3 = ideal_cis_pair(spread_state(cfg, 2), 0, 1, cfg, bond=True)
+    variants.append(st3._replace(a_xy=st3.a_xy.at[1].add(jnp.asarray([3.0, 2.0]))))
+    # no bonds at all
+    variants.append(spread_state(cfg, 3))
+    # batch of 5 (not a multiple of the kernel block): pad path
+    variants.append(spread_state(cfg, 4))
+
+    ens = jax.tree.map(lambda *xs: jnp.stack(xs), *variants)
+
+    def one(fused):
+        def f(st):
+            info = cluster_labels(st, cfg)
+            skey = rng.stream_key(rng.step_key(st.key, 7), rng.STREAM_ALIGN)
+            if fused:
+                return idealize_fused(st, info, skey, cfg, interpret=True)
+            return idealize(st, info, skey, cfg)
+        return jax.vmap(f)(ens)
+
+    a, b = one(False), one(True)
+    _assert_state_close(a, b)

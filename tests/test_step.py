@@ -13,19 +13,27 @@ from helpers import spread_state
 def test_invariants_under_load(small_cfg):
     """Dense box + boosted association rates: bonds form, complexes build,
     and every invariant holds throughout."""
+    # boosted rates AND widened geometric gates: bond formation within a few
+    # hundred steps must not hinge on RNG-stream luck (the tight reference
+    # gates make encounters rare events at test scale)
     cfg = small_cfg.replace(
         cell_range_x=800.0,
         cell_range_y=800.0,
         cell_range_z=300.0,
-        ass_rate=0.1,
-        mono_cis_ass_rate=0.05,
-        cis_ass_rate=0.05,
+        ass_rate=0.5,
+        mono_cis_ass_rate=0.2,
+        cis_ass_rate=0.2,
         diss_rate=1e-3,
+        bond_dist_cutoff=30.0,
+        bond_thetapd_cutoff=90.0,
+        bond_thetaot_cutoff=170.0,
+        cis_dist_cutoff=25.0,
+        cis_thetaot_cutoff=60.0,
     )
     st = spread_state(cfg, 4)
     chunk = make_chunk_fn(cfg, 50)
     saw_bond = saw_rl = False
-    for i in range(6):
+    for i in range(8):
         st, obs = chunk(st)
         assert_invariants(st, cfg, f"at step {int(st.step)}")
         saw_bond = saw_bond or int(obs.bond_num) > 0
