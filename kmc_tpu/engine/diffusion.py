@@ -241,18 +241,32 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
         acc = sweep_round(acc)
         acc = sweep_round(acc)
 
+        # the final mixed configuration's pair overlaps are pure boolean
+        # algebra over the two precomputed matrices (i at new/old vs j at
+        # new/old); old-old pairs are overlap-free by the previous step's
+        # invariant (and unfixable by reverts anyway), so the loop body
+        # recomputes NO geometry
+        hit_on = hit_no.T
+
         def body(carry):
             acc_l, _ = carry
-            okm = (acc_l[label]) & moving
-            final = jnp.where(okm[:, None, None, None], p, c)
-            hit = collide_matrix(final, final, cfg)
-            mol_bad = jnp.any(hit & cross, axis=1)
+            am = (acc_l & moved_l)[label] & moving
+            pair = jnp.where(
+                am[:, None] & am[None, :], hit_nn,
+                jnp.where(am[:, None], hit_no,
+                          jnp.where(am[None, :], hit_on, False)),
+            )
+            mol_bad = jnp.any(pair & cross, axis=1)
             bad_l = seg_max(mol_bad, label, n) & acc_l & moved_l
             return acc_l & ~bad_l, ~jnp.any(bad_l)
 
-        acc, _ = jax.lax.while_loop(
-            lambda cy: ~cy[1], body, (acc, jnp.array(False))
-        )
+        if cfg.sweep_exact_cleanup:
+            acc, _ = jax.lax.while_loop(
+                lambda cy: ~cy[1], body, (acc, jnp.array(False))
+            )
+        else:
+            for _ in range(3):      # unrolled: see config.sweep_exact_cleanup
+                acc, _ = body((acc, None))
         rej = ~acc
     else:
         # round-1 symmetric rule (stricter: double-counts collisions)
