@@ -24,11 +24,18 @@ import jax
 REPLICAS = int(os.environ.get("KMC_BENCH_REPLICAS", "512"))
 CHUNK = int(os.environ.get("KMC_BENCH_CHUNK", "50"))
 REPEATS = int(os.environ.get("KMC_BENCH_REPEATS", "3"))
+# "lazy" = event-driven alignment (align only the k = replicas/8 dirtiest
+# replicas per step; statistically validated in tests/test_lazy_align.py —
+# bitwise == eager at k = replicas, kinetics inside the eager ensemble
+# spread at k = replicas/8 with no starved replica).  "eager" restores the
+# align-everything step.
+MODE = os.environ.get("KMC_BENCH_MODE", "lazy")
 
 
 def main():
     from kmc_tpu.config import SimConfig
-    from kmc_tpu.parallel.ensemble import init_ensemble, make_ensemble_chunk
+    from kmc_tpu.parallel.ensemble import (
+        init_ensemble, make_ensemble_chunk, make_lazy_ensemble_chunk)
 
     cfg = SimConfig()  # reference scale: 150 receptors + 50 ligands
     events_per_step = (
@@ -37,7 +44,12 @@ def main():
 
     state = init_ensemble(cfg, REPLICAS, seed=0)
     state = jax.block_until_ready(state)
-    chunk = make_ensemble_chunk(cfg, CHUNK, donate=True)
+    if MODE == "lazy":
+        chunk = make_lazy_ensemble_chunk(cfg, CHUNK,
+                                         k_align=max(REPLICAS // 8, 32),
+                                         donate=True)
+    else:
+        chunk = make_ensemble_chunk(cfg, CHUNK, donate=True)
 
     # warmup / compile
     state, obs = chunk(state)
@@ -68,8 +80,8 @@ def main():
         "vs_baseline": vs,
     }))
     print(
-        f"# {REPLICAS} replicas x {REPEATS * CHUNK} steps in {dt:.2f}s "
-        f"({steps / dt:,.0f} replica-steps/s)",
+        f"# mode={MODE} {REPLICAS} replicas x {REPEATS * CHUNK} steps in "
+        f"{dt:.2f}s ({steps / dt:,.0f} replica-steps/s)",
         file=sys.stderr,
     )
 
