@@ -97,13 +97,16 @@ class SimConfig:
     #   (symmetric) — both within estimator noise at reference density
     #   (VALIDATION_r02_msd.json); the sweep rule is default for fidelity of
     #   the acceptance semantics, not for a measured kinetics difference.
-    sweep_exact_cleanup: bool = True   # True: certify the no-overlap
-    #   invariant with a while_loop to fixpoint (exact).  False: 3 unrolled
-    #   cleanup rounds — revert chains deeper than 3 (astronomically rare;
-    #   each link needs a distinct same-step geometric conflict) can leave a
-    #   transient overlap that the collision rule then self-heals (moves
-    #   apart accepted, moves together rejected).  Knob exists because a
-    #   dynamic loop in the hot scan measurably costs more than its body.
+    sweep_exact_cleanup: bool = False  # True: certify the no-overlap
+    #   invariant with a while_loop to fixpoint (exact).  False (default):
+    #   3 unrolled cleanup rounds — revert chains deeper than 3
+    #   (astronomically rare; each link needs a distinct same-step
+    #   geometric conflict) can leave a transient overlap that the
+    #   collision rule then self-heals (moves apart accepted, moves
+    #   together rejected).  Default is unrolled because a dynamic loop in
+    #   the hot scan costs far more than its body (the diffuse stage
+    #   profiled at ~11 ms of a 34.5 ms step with the while_loop); exact
+    #   mode remains for certification runs.
 
     # ------------------------------------------------------------------
     @property

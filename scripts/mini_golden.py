@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Fast golden comparison at reduced size + boosted cis rates.
+
+Patches the reference source's parameter block (molecule counts, box,
+rates, step count), compiles and runs it, runs a kmc_tpu ensemble at the
+identical config, and applies the validator's kinetics band test.  At the
+default scale one full comparison takes minutes (vs hours at reference
+scale), which makes it the iteration tool for channel-level kinetics
+parity — especially the cis channels, whose counts at reference rates
+need ~1e6 steps to resolve.
+
+Usage:
+  python scripts/mini_golden.py [--steps 300000] [--replicas 32]
+      [--boost 50] [--ref-runs 1] [--workdir /tmp/minigold] [--cpu]
+      [--out report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# reference-faithful regime: identical area density to main.cpp (150
+# receptors in 5773^2 -> 40 in 2981^2), identical z extent, and a cis-rate
+# boost small enough that per-step probabilities stay << 1 (at boost ~100
+# the per-pair p approaches 1 and conflict resolution dominates: our
+# mutual-argmax matching and the reference's sequential scan then diverge
+# BY DESIGN — documented quirk 4; the mini harness must not test that
+# regime, the reference regime is conflict-sparse)
+NA, NB = 40, 12
+BOX_XY, BOX_Z = 2981.0, 1000.0
+
+
+def patch_reference(src: str, steps: int, boost: float,
+                    out_every: int = 1000) -> str:
+    """Rewrite the parameter block (main.cpp:39-99) and the hardcoded
+    output cadence (main.cpp:2206/2247/2258/2291) for the mini config."""
+    subs = [
+        (r"int simu_step = \d+ ?;", f"int simu_step = {steps} ;"),
+        (r"double cell_range_x = [\d.]+;", f"double cell_range_x = {BOX_XY};"),
+        (r"double cell_range_y = [\d.]+;", f"double cell_range_y = {BOX_XY};"),
+        (r"double cell_range_z = [\d.]+;", f"double cell_range_z = {BOX_Z};"),
+        (r"#define RB_A_tot_num \d+", f"#define RB_A_tot_num {4 * NA}"),
+        (r"#define protein_A_tot_num (\d+)",
+         f"#define protein_A_tot_num {NA}"),
+        (r"#define protein_A_tot_num_matrix \d+",
+         f"#define protein_A_tot_num_matrix {NA + 1}"),
+        (r"#define RB_B_tot_num \d+", f"#define RB_B_tot_num {4 * NB}"),
+        (r"#define protein_B_tot_num (\d+)",
+         f"#define protein_B_tot_num {NB}"),
+        (r"#define protein_B_tot_num_matrix \d+",
+         f"#define protein_B_tot_num_matrix {NB + 1}"),
+        (r"#define protein_tot_num (\d+)",
+         f"#define protein_tot_num {NA + NB}"),
+        (r"#define protein_tot_num_matrix \d+",
+         f"#define protein_tot_num_matrix {NA + NB + 1}"),
+        (r"#define max_bond_num \d+", f"#define max_bond_num {6 * NA}"),
+        (r"#define max_bond_num_matrix \d+",
+         f"#define max_bond_num_matrix {6 * NA + 1}"),
+        (r"double mono_cis_Ass_Rate = [\d.]+;",
+         f"double mono_cis_Ass_Rate = {0.000047 * boost};"),
+        (r"double cis_Ass_Rate = [\d.]+;",
+         f"double cis_Ass_Rate = {0.00096 * boost};"),
+    ]
+    src, k = re.subn(r"% 5000 == 0", f"% {out_every} == 0", src)
+    assert k == 4, k
+    for pat, rep in subs:
+        # the non-_matrix macros must not swallow the _matrix lines: require
+        # the value to end the line
+        src, k = re.subn(pat + r"(?=\s*$|\s*//)", rep, src,
+                         flags=re.MULTILINE)
+        assert k >= 1, f"pattern not found: {pat}"
+    return src
+
+
+def run_reference(workdir: str, steps: int, boost: float, run_id: int,
+                  out_every: int = 1000):
+    os.makedirs(workdir, exist_ok=True)
+    src = open("/root/reference/main.cpp").read()
+    with open(os.path.join(workdir, "main.cpp"), "w") as f:
+        f.write(patch_reference(src, steps, boost, out_every))
+    exe = os.path.join(workdir, "mini_kmc")
+    subprocess.run(["g++", "-O2", "-o", exe, os.path.join(workdir, "main.cpp")],
+                   check=True)
+    rundir = os.path.join(workdir, f"run{run_id}")
+    os.makedirs(rundir, exist_ok=True)
+    for f_ in ("bond.dat", "position.cpt", "parameter.log"):
+        p = os.path.join(rundir, f_)
+        if os.path.exists(p):
+            os.remove(p)
+    subprocess.run([exe], cwd=rundir, check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return os.path.join(rundir, "bond.dat")
+
+
+def our_config(boost: float):
+    from kmc_tpu.config import SimConfig
+
+    return SimConfig(
+        n_a=NA, n_b=NB,
+        cell_range_x=BOX_XY, cell_range_y=BOX_XY, cell_range_z=BOX_Z,
+        mono_cis_ass_rate=0.000047 * boost,
+        cis_ass_rate=0.00096 * boost,
+        out_every=1000,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=150000)
+    ap.add_argument("--replicas", type=int, default=24)
+    ap.add_argument("--boost", type=float, default=20.0)
+    ap.add_argument("--ref-runs", type=int, default=1)
+    ap.add_argument("--workdir", default="/tmp/minigold")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX CPU backend for our side")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quantile", type=float, default=0.995)
+    ap.add_argument("--min-coverage", type=float, default=0.9)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    # ---- reference side ----
+    ref_bonds = []
+    for r in range(args.ref_runs):
+        path = run_reference(args.workdir, args.steps, args.boost, r)
+        from validate_vs_reference import read_bond_dat
+
+        ref_bonds.append(read_bond_dat(path))
+        print(f"# reference run {r}: {len(ref_bonds[-1])} outputs",
+              file=sys.stderr, flush=True)
+
+    # ---- our side ----
+    import validate_vs_reference as vv
+
+    cfg = our_config(args.boost)
+    n_out = min(len(b) for b in ref_bonds)
+
+    class A:  # the validator's arg shape
+        replicas = args.replicas
+        seed = args.seed
+        quantile = args.quantile
+        min_coverage = args.min_coverage
+
+    import jax
+
+    from kmc_tpu.parallel.ensemble import init_ensemble, make_ensemble_chunk
+
+    chunk = make_ensemble_chunk(cfg, cfg.out_every, donate=True)
+    state = init_ensemble(cfg, args.replicas, seed=args.seed)
+    kin = {c: [] for c in vv.KIN_COLS}
+    for k in range(n_out):
+        state, obs = chunk(state)
+        for c in vv.KIN_COLS:
+            kin[c].append(np.asarray(getattr(obs, c)))
+        if (k + 1) % 10 == 0:
+            print(f"# ensemble output {k + 1}/{n_out}", file=sys.stderr,
+                  flush=True)
+    jax.block_until_ready(state)
+    kin = {c: np.stack(v) for c, v in kin.items()}
+
+    report = {"config": {"n_a": NA, "n_b": NB, "box": [BOX_XY, BOX_XY, BOX_Z],
+                         "steps": args.steps, "boost": args.boost,
+                         "replicas": args.replicas,
+                         "ref_runs": args.ref_runs},
+              "runs": []}
+    ok_all = True
+    for r, ref in enumerate(ref_bonds):
+        rep = vv._kinetics_report(kin, ref[:n_out], A)
+        report["runs"].append(rep)
+        ok_all &= rep["ok"]
+    report["ok"] = bool(ok_all)
+    txt = json.dumps(report, indent=1)
+    print(txt)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt + "\n")
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.exit(main())

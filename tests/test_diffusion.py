@@ -88,12 +88,14 @@ def test_no_overlap_after_many_steps(small_cfg):
     # dense box to provoke collisions; both collision-resolution rules must
     # certify the hard no-overlap invariant (the sweep rule via its monotone
     # cleanup loop)
-    for sweep in (True, False):
+    for sweep, exact in ((True, True), (True, False), (False, True)):
         cfg = small_cfg.replace(cell_range_x=700.0, cell_range_y=700.0,
-                                cell_range_z=400.0, sweep_collisions=sweep)
+                                cell_range_z=400.0, sweep_collisions=sweep,
+                                sweep_exact_cleanup=exact)
         st = spread_state(cfg, 1)
         st = _diffuse_steps(st, cfg, 100)
-        assert_invariants(st, cfg, f"after dense diffusion (sweep={sweep})")
+        assert_invariants(st, cfg,
+                          f"after dense diffusion (sweep={sweep}/{exact})")
 
 
 def test_sweep_collisions_accept_at_least_symmetric(small_cfg):
