@@ -171,6 +171,7 @@ def main():
                   flush=True)
     jax.block_until_ready(state)
     kin = {c: np.stack(v) for c, v in kin.items()}
+    np.savez(os.path.join(args.workdir, "ours_kin.npz"), **kin)
 
     report = {"config": {"n_a": NA, "n_b": NB, "box": [BOX_XY, BOX_XY, BOX_Z],
                          "steps": args.steps, "boost": args.boost,

@@ -16,6 +16,14 @@ KMC_LAT_SIZE=8192 KMC_LAT_CHUNK=50 KMC_LAT_REPEATS=2 \
   timeout 3600 python scripts/bench_lattice_tpu.py 2>&1
 echo "=== lattice8192 rc=$? ==="
 
+echo "=== 2b. align-kernel block-size sweep ==="
+for RB in 16 32; do
+  echo "--- KMC_ALIGN_RB=$RB ---"
+  KMC_ALIGN_RB=$RB KMC_BENCH_MODE=eager KMC_BENCH_REPLICAS=256 \
+    KMC_BENCH_CHUNK=20 KMC_BENCH_REPEATS=3 timeout 3000 python bench.py 2>&1
+  echo "--- rc=$? ---"
+done
+
 echo "=== 3. full-step re-profile ==="
 timeout 3000 python scripts/profile_step_tpu.py 2>&1
 echo "=== profile rc=$? ==="

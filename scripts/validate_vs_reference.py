@@ -179,12 +179,14 @@ def _kinetics_report(kin, ref, args):
         p_tail = sum(comb(n_eff, k) * p_nom**k * (1 - p_nom) ** (n_eff - k)
                      for k in range(k_eff + 1))
         mean_err = float(np.mean(np.abs(refv - samples.mean(1))))
+        signed_err = float(np.mean(refv - samples.mean(1)))
         ok = frac >= args.min_coverage and p_tail > 1e-3
         ok_all &= ok
         report["columns"][c] = {
             "coverage": frac,
             "binomial_tail_p": float(p_tail),
             "mean_abs_err_vs_ensemble_mean": mean_err,
+            "mean_signed_err_ref_minus_ours": signed_err,
             "ok": ok,
         }
     report["ok"] = bool(ok_all)
