@@ -19,6 +19,11 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from kmc_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # round-2 lesson: cold driver run must not recompile
+
 import jax
 
 REPLICAS = int(os.environ.get("KMC_BENCH_REPLICAS", "512"))
@@ -33,9 +38,19 @@ MODE = os.environ.get("KMC_BENCH_MODE", "lazy")
 
 
 def main():
+    t_start = time.perf_counter()
+
+    def mark(what):
+        print(f"# t+{time.perf_counter() - t_start:7.1f}s  {what}",
+              file=sys.stderr, flush=True)
+
     from kmc_tpu.config import SimConfig
     from kmc_tpu.parallel.ensemble import (
         init_ensemble, make_ensemble_chunk, make_lazy_ensemble_chunk)
+
+    mark("imports done")
+    jax.devices()
+    mark("backend up")
 
     cfg = SimConfig()  # reference scale: 150 receptors + 50 ligands
     events_per_step = (
@@ -44,6 +59,7 @@ def main():
 
     state = init_ensemble(cfg, REPLICAS, seed=0)
     state = jax.block_until_ready(state)
+    mark("init_ensemble done")
     if MODE == "lazy":
         chunk = make_lazy_ensemble_chunk(cfg, CHUNK,
                                          k_align=max(REPLICAS // 8, 32),
@@ -54,6 +70,7 @@ def main():
     # warmup / compile
     state, obs = chunk(state)
     state = jax.block_until_ready(state)
+    mark("warmup chunk done")
 
     t0 = time.perf_counter()
     for _ in range(REPEATS):

@@ -120,12 +120,21 @@ def _cis_channel(a_cis, geom, elig_extra, prob, key, cfg: SimConfig):
     m = _mutual_match_symmetric(cand, score, cfg.match_rounds)
     partner = jnp.where(jnp.any(m, axis=1), jnp.argmax(m, axis=1), -1)
     a_cis = jnp.where(partner >= 0, partner, a_cis)
-    return a_cis
+    # diag: eligible ordered pairs / committed bonds (unused counts are DCE'd)
+    return a_cis, jnp.sum(elig), jnp.sum(m) // 2
 
 
 def react(state: SimState, skey, cfg: SimConfig,
-          rp: RuntimeParams = None) -> SimState:
+          rp: RuntimeParams = None, diag: bool = False):
+    """Apply the six reaction channels.  With ``diag=True`` returns
+    (state, dict) where the dict holds per-channel eligible-candidate and
+    accepted-event counts for flux comparison against an instrumented
+    reference build (scripts/chan_flux.py); counting conventions mirror the
+    reference scan: trans eligibility counts (i, b, site) triples
+    (main.cpp:1877-1918), cis eligibility counts ordered pairs
+    (:1952-1984, :2007-2038), acceptance counts bonds once."""
     rp = rp if rp is not None else from_config(cfg)
+    dg = {}
     na, nb = cfg.n_a, cfg.n_b
     p = positions(state, cfg)
 
@@ -184,7 +193,7 @@ def react(state: SimState, skey, cfg: SimConfig,
     trans_free = a_trans < 0
 
     k = rng.stream_key(skey, rng.STREAM_REACT_MONO_CIS)
-    a_cis = _cis_channel(
+    a_cis, elig_mono, acc_mono = _cis_channel(
         a_cis,
         geom,
         trans_free[:, None] & trans_free[None, :],
@@ -194,7 +203,7 @@ def react(state: SimState, skey, cfg: SimConfig,
     )
 
     k = rng.stream_key(skey, rng.STREAM_REACT_CIS)
-    a_cis = _cis_channel(
+    a_cis, elig_cis, acc_cis = _cis_channel(
         a_cis,
         geom,
         ~(trans_free[:, None] & trans_free[None, :]),
@@ -239,7 +248,16 @@ def react(state: SimState, skey, cfg: SimConfig,
         | jnp.any(a_cis != state.a_cis)
         | jnp.any(b_partner != state.b_partner)
     )
-    return state._replace(
+    out = state._replace(
         a_trans=a_trans, a_site=a_site, a_cis=a_cis, b_partner=b_partner,
         dirty=state.dirty | changed,
     )
+    if diag:
+        dg = {
+            "elig_trans": jnp.sum(elig), "acc_trans": jnp.sum(hit_a),
+            "elig_mono": elig_mono, "acc_mono": acc_mono,
+            "elig_cis": elig_cis, "acc_cis": acc_cis,
+            "dis_trans": jnp.sum(unbind),
+        }
+        return out, dg
+    return out

@@ -52,6 +52,24 @@ def step_fn(state: SimState, cfg: SimConfig, rp=None):
     return st, observe(st, info, cfg)
 
 
+def step_fn_diag(state: SimState, cfg: SimConfig, rp=None):
+    """step_fn variant returning per-channel reaction flux diagnostics
+    (eligible candidates + accepted events; see reactions.react(diag=True)).
+    Used by scripts/chan_flux.py to bisect kinetics-parity deviations
+    channel by channel against an instrumented reference build."""
+    skey = rng.step_key(state.key, state.step)
+    info = cluster_labels(state, cfg)
+    _, max_b = cluster_stats(info, cfg)
+    max_c = jnp.maximum(state.max_complex, max_b)
+    st = diffuse(state, info, rng.stream_key(skey, rng.STREAM_MOVE), cfg, rp)
+    use_fused = cfg.fused_align and jax.default_backend() == "tpu"
+    align = idealize_fused if use_fused else idealize
+    st = align(st, info, rng.stream_key(skey, rng.STREAM_ALIGN), cfg)
+    st, dg = react(st, skey, cfg, rp, diag=True)
+    st = st._replace(step=state.step + 1, max_complex=max_c)
+    return st, observe(st, info, cfg), dg
+
+
 def make_step_fn(cfg: SimConfig) -> Callable[[SimState], tuple]:
     """Jitted single-step function for the given (static) config."""
     return jax.jit(functools.partial(step_fn, cfg=cfg))

@@ -171,6 +171,7 @@ def load_reference_cpt(path: str, cfg: SimConfig, seed: int = 0) -> SimState:
     b_quat = np.zeros((nb, 4), np.float32)
     b_laid = np.zeros((nb,), bool)
     b_partner = np.full((nb, 3), -1, np.int32)
+    b_mirrored = np.zeros((nb,), bool)
     arm = cfg.trimer_arm
     rb = cfg.rb_b_radius
     for b in range(nb):
@@ -193,13 +194,21 @@ def load_reference_cpt(path: str, cfg: SimConfig, seed: int = 0) -> SimState:
         # A mirror through the template x=0 plane equals relabeling beads
         # 3<->4 (up-site and bead 2 fixed), so relabel and carry the partner
         # slots — identical physical state, proper rotation restored.
-        if np.linalg.det(m) < 0:
+        # Chirality test: the frame above is anchored on bead 1 + up-site
+        # only (its det is |yv x zv|^2, never negative), so mirroring shows
+        # up as beads 3 and 4 sitting at each other's EXPECTED positions
+        # (2*R_B = 60 A apart — robust against %.3f rounding).
+        from kmc_tpu.models.tnfr import ligand_template
+
+        tmpl_b = np.asarray(ligand_template(cfg))
+        e2 = center + m @ tmpl_b[2, 0]
+        e3 = center + m @ tmpl_b[3, 0]
+        if (np.sum((coords[2, 0] - e2) ** 2)
+                > np.sum((coords[2, 0] - e3) ** 2)):
+            b_mirrored[b] = True
             coords[[2, 3]] = coords[[3, 2]]
             stats[2], stats[3] = stats[3], stats[2]
-            yv = (coords[1, 0] - center) / arm
-            zv = (coords[0, 1] - center) / rb
-            xv = np.cross(yv, zv)
-            m = np.stack([xv, yv, zv], axis=1)
+            # no frame rebuild needed: m never involved beads 3/4
         # orthonormalize against %.3f rounding (proper rotation enforced)
         u, _, vt = np.linalg.svd(m)
         sgn = np.sign(np.linalg.det(u @ vt))
@@ -213,6 +222,17 @@ def load_reference_cpt(path: str, cfg: SimConfig, seed: int = 0) -> SimState:
             status, nei = stats[j]
             if status:
                 b_partner[b, j - 1] = nei - 1
+
+    # the beads-3<->4 relabel of a mirrored ligand renames its partner
+    # SLOTS, so receptors trans-bound to it must follow: a_site 2<->3
+    # (otherwise topology_mutual breaks — a_site would point at the slot the
+    # partner moved out of, and trans unbind would clear the wrong slot)
+    for i in range(na):
+        if a_trans[i] >= 0 and b_mirrored[a_trans[i] - na]:
+            if a_site[i] == 2:
+                a_site[i] = 3
+            elif a_site[i] == 3:
+                a_site[i] = 2
 
     total, rl, cis, mono, max_complex, step = (nxt_i() for _ in range(6))
     st = empty_state(cfg, jax.random.key(seed))

@@ -81,18 +81,69 @@ def patch_reference(src: str, steps: int, boost: float,
     return src
 
 
+def instrument_reference(src: str) -> str:
+    """Insert per-channel flux counters (eligible candidates reaching the
+    Bernoulli draw + accepted events + counter reclassifications) and dump
+    them cumulatively to chan.dat at the bond.dat cadence.  Anchored on the
+    reference's unique counter-update statements (main.cpp:1918-2141);
+    tooling for flux-level parity bisection, not a behavior change."""
+    decls = ("\nlong long ch_elig_trans=0, ch_elig_mono=0, ch_elig_cis=0,"
+             " ch_acc_trans=0, ch_acc_mono=0, ch_acc_cis=0, ch_dis_trans=0,"
+             " ch_dis_mono=0, ch_dis_cis=0, ch_re_up=0, ch_re_down=0;")
+    subs = [
+        (r"(int simu_step = \d+ ?;)", r"\1" + decls),
+        (r"(Prob_Ass = Ass_Rate\*time_step;)", r"\1 ch_elig_trans++;"),
+        (r"(Prob_Ass = mono_cis_Ass_Rate\*time_step;)",
+         r"\1 ch_elig_mono++;"),
+        (r"(Prob_Ass = cis_Ass_Rate\*time_step;)", r"\1 ch_elig_cis++;"),
+        (r"(bond_num_rl_new = bond_num_rl_new \+ 1;)", r"\1 ch_acc_trans++;"),
+        (r"(bond_num_rl_new = bond_num_rl_new - 1;)", r"\1 ch_dis_trans++;"),
+        (r"(bond_num_mono_cis_new = bond_num_mono_cis_new - 1;"
+         r"\s*\n\s*bond_num_cis_new = bond_num_cis_new \+ 1;)",
+         r"\1 ch_re_up++;"),
+        (r"(bond_num_mono_cis_new = bond_num_mono_cis_new \+ 1;"
+         r"\s*\n\s*bond_num_cis_new = bond_num_cis_new - 1;)",
+         r"\1 ch_re_down++;"),
+        (r"(bond_num_new = bond_num_new \+ 1;"
+         r"\s*\n\s*bond_num_mono_cis_new = bond_num_mono_cis_new \+ 1;)",
+         r"\1 ch_acc_mono++;"),
+        (r"(bond_num_new = bond_num_new \+ 1;"
+         r"\s*\n\s*\n*\s*bond_num_cis_new = bond_num_cis_new \+ 1;)",
+         r"\1 ch_acc_cis++;"),
+        (r"(bond_num_new = bond_num_new - 1;"
+         r"\s*\n\s*bond_num_mono_cis_new = bond_num_mono_cis_new - 1;)",
+         r"\1 ch_dis_mono++;"),
+        (r"(bond_num_new = bond_num_new - 1;"
+         r"\s*\n\s*\n*\s*bond_num_cis_new = bond_num_cis_new - 1;)",
+         r"\1 ch_dis_cis++;"),
+        (r"(bond\.close\(\);)",
+         r"""\1 { std::ofstream chan("chan.dat", std::ofstream::app);
+ chan << mc_time_step << " " << ch_elig_trans << " " << ch_elig_mono
+      << " " << ch_elig_cis << " " << ch_acc_trans << " " << ch_acc_mono
+      << " " << ch_acc_cis << " " << ch_dis_trans << " " << ch_dis_mono
+      << " " << ch_dis_cis << " " << ch_re_up << " " << ch_re_down << '\\n'; }"""),
+    ]
+    for pat, rep in subs:
+        src, k = re.subn(pat, rep, src)
+        assert k == 1, f"instrument anchor matched {k} times: {pat[:60]}"
+    return src
+
+
 def run_reference(workdir: str, steps: int, boost: float, run_id: int,
-                  out_every: int = 1000):
+                  out_every: int = 1000, instrument: bool = False):
     os.makedirs(workdir, exist_ok=True)
     src = open("/root/reference/main.cpp").read()
+    src = patch_reference(src, steps, boost, out_every)
+    if instrument:
+        src = instrument_reference(src)
     with open(os.path.join(workdir, "main.cpp"), "w") as f:
-        f.write(patch_reference(src, steps, boost, out_every))
+        f.write(src)
     exe = os.path.join(workdir, "mini_kmc")
     subprocess.run(["g++", "-O2", "-o", exe, os.path.join(workdir, "main.cpp")],
                    check=True)
     rundir = os.path.join(workdir, f"run{run_id}")
     os.makedirs(rundir, exist_ok=True)
-    for f_ in ("bond.dat", "position.cpt", "parameter.log"):
+    for f_ in ("bond.dat", "position.cpt", "parameter.log", "chan.dat"):
         p = os.path.join(rundir, f_)
         if os.path.exists(p):
             os.remove(p)

@@ -16,6 +16,10 @@ import jax  # noqa: E402
 # wins as long as no backend has been initialized yet.
 jax.config.update("jax_platforms", "cpu")
 
+from kmc_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # CPU compiles cache too: faster re-runs of the suite
+
 import pytest  # noqa: E402
 
 import kmc_tpu  # noqa: E402

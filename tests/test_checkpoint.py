@@ -163,6 +163,50 @@ def test_mirrored_ligand_relabel(tmp_path, small_cfg):
     )
 
 
+def test_mirrored_bound_ligand_relabel(tmp_path, small_cfg):
+    """A reference-consistent MIRRORED cpt with a trans bond on the ligand
+    (bond recorded on file-bead 4, receptor seated at that bead's physical
+    site) must load with the partner slot AND the receptor's a_site remapped
+    together — topology_mutual intact and the seat geometry unchanged
+    (ADVICE r2: the carried-partner-slot path)."""
+    cfg = small_cfg
+    st = spread_state(cfg, 4)
+    # A0 bound to B0 at our site 2 (= slot 1 = reference bead 3)
+    st = ideal_trans_pair(st, a=0, b=0, site=2, cfg=cfg,
+                          center_xy=(300.0, 300.0), bond=True)
+    p = os.path.join(tmp_path, "position.cpt")
+    save_reference_cpt(p, st, cfg)
+
+    lines = open(p).read().splitlines()
+    first_b = cfg.n_a * 17
+    # mirror ligand 0 the way the reference's lay-down chirality does:
+    # swap the ENTIRE bead-3 and bead-4 blocks (2 coord rows + status row),
+    # so the physical bound bead keeps its bond but is now LABELED bead 4
+    i3, i4 = first_b + 2 * 3, first_b + 3 * 3
+    for o in range(3):
+        lines[i3 + o], lines[i4 + o] = lines[i4 + o], lines[i3 + o]
+    # ...and the receptor's own row must point at the new label (nei4 3->4)
+    topo = lines[16].split()
+    assert topo[3] == "3"
+    lines[16] = f"{int(topo[0]):>8}{int(topo[1]):>8}{int(topo[2]):>8}" \
+                f"{4:>8}{int(topo[4]):>8}"
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    st2 = load_reference_cpt(p, cfg)
+    # physical geometry is restored exactly (mirror + relabel = identity)
+    pa = np.asarray(positions(st, cfg))
+    pb = np.asarray(positions(st2, cfg))
+    assert np.max(np.abs(pa - pb)) < 0.05
+    # topology: back to the canonical labeling, mutual and seat-consistent
+    assert int(st2.a_site[0]) == 2
+    assert int(st2.b_partner[0, 1]) == 0
+    assert int(st2.b_partner[0, 2]) == -1
+    np.testing.assert_array_equal(np.asarray(st.a_trans),
+                                  np.asarray(st2.a_trans))
+    assert_invariants(st2, cfg, "after mirrored bound cpt load")
+
+
 def test_cpt_counters_block(tmp_path, small_cfg):
     cfg = small_cfg
     st = _evolved_state(cfg, n=5)
