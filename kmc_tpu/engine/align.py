@@ -98,16 +98,16 @@ def idealize_fused(state: SimState, info: ClusterInfo, skey,
     n, na = cfg.n, cfg.n_a
     is_root = _choose_roots(state, info, skey, cfg)
     act = info.size > 1
-    a_xy, a_psi, b_center, b_quat, b_laid = align_core(
+    a_xy, a_psi, b_center, b_quat, b_laid, unreached = align_core(
         state, is_root, act, cfg, interpret=interpret
     )
     prop = state._replace(a_xy=a_xy, a_psi=a_psi, b_center=b_center,
                           b_quat=b_quat, b_laid=b_laid)
-    return _collision_revert(state, prop, info, cfg)
+    return _collision_revert(state, prop, info, cfg, extra_dirty=unreached)
 
 
 def _collision_revert(state: SimState, prop: SimState, info: ClusterInfo,
-                      cfg: SimConfig) -> SimState:
+                      cfg: SimConfig, extra_dirty=False) -> SimState:
     """Whole-cluster revert of changed clusters that now overlap
     (main.cpp:1759-1860)."""
     n, na = cfg.n, cfg.n_a
@@ -127,13 +127,15 @@ def _collision_revert(state: SimState, prop: SimState, info: ClusterInfo,
 
     # reverted clusters stay un-idealized -> retried next step; a revert-
     # free pass leaves every active cluster at ideal geometry (clean)
+    # unless a chain ran beyond align_depth this pass (extra_dirty, ADVICE
+    # r2: the lazy path must keep realigning until a pass covers all)
     return state._replace(
         a_xy=jnp.where(keep[:na, None], prop.a_xy, state.a_xy),
         a_psi=jnp.where(keep[:na], prop.a_psi, state.a_psi),
         b_center=jnp.where(keep[na:, None], prop.b_center, state.b_center),
         b_quat=jnp.where(keep[na:, None], prop.b_quat, state.b_quat),
         b_laid=jnp.where(keep[na:], prop.b_laid, state.b_laid),
-        dirty=jnp.any(rej),
+        dirty=jnp.any(rej) | extra_dirty,
     )
 
 
@@ -153,6 +155,8 @@ def idealize(state: SimState, info: ClusterInfo, skey, cfg: SimConfig) -> SimSta
     active = (info.size > 1)
     # molecules in active clusters only
     act = active
+    # chain deeper than align_depth: unreached this pass -> stay dirty
+    unreached = jnp.any(act & (~is_root) & (depth >= _INF))
 
     # ---- root ligand lay-down in place (main.cpp:1138-1193) ----
     b_idx = jnp.arange(nb)
@@ -250,11 +254,12 @@ def idealize(state: SimState, info: ClusterInfo, skey, cfg: SimConfig) -> SimSta
 
     # reverted clusters stay un-idealized -> retried next step; a revert-
     # free pass leaves every active cluster at ideal geometry (clean)
+    # unless a chain ran beyond align_depth this pass (see idealize_fused)
     return state._replace(
         a_xy=jnp.where(keep[:na, None], prop.a_xy, state.a_xy),
         a_psi=jnp.where(keep[:na], prop.a_psi, state.a_psi),
         b_center=jnp.where(keep[na:, None], prop.b_center, state.b_center),
         b_quat=jnp.where(keep[na:, None], prop.b_quat, state.b_quat),
         b_laid=jnp.where(keep[na:], prop.b_laid, state.b_laid),
-        dirty=jnp.any(rej),
+        dirty=jnp.any(rej) | unreached,
     )

@@ -61,11 +61,13 @@ def step_fn_diag(state: SimState, cfg: SimConfig, rp=None):
     info = cluster_labels(state, cfg)
     _, max_b = cluster_stats(info, cfg)
     max_c = jnp.maximum(state.max_complex, max_b)
-    st = diffuse(state, info, rng.stream_key(skey, rng.STREAM_MOVE), cfg, rp)
+    st, residual = diffuse(state, info, rng.stream_key(skey, rng.STREAM_MOVE),
+                           cfg, rp, diag=True)
     use_fused = cfg.fused_align and jax.default_backend() == "tpu"
     align = idealize_fused if use_fused else idealize
     st = align(st, info, rng.stream_key(skey, rng.STREAM_ALIGN), cfg)
     st, dg = react(st, skey, cfg, rp, diag=True)
+    dg["residual_overlap"] = residual.astype(jnp.int32)
     st = st._replace(step=state.step + 1, max_complex=max_c)
     return st, observe(st, info, cfg), dg
 
@@ -91,6 +93,43 @@ def make_chunk_fn(cfg: SimConfig, chunk: Optional[int] = None):
     return chunk_fn
 
 
+def _zero_obs() -> Observables:
+    zf = jnp.zeros((), jnp.float32)
+    zi = jnp.zeros((), jnp.int32)
+    return Observables(zf, zi, zi, zi, zi, zf, zi)
+
+
+def make_masked_chunk_fn(cfg: SimConfig):
+    """Fixed-shape ``out_every``-slot chunk that executes only the first
+    ``todo`` steps (traced scalar) — the tail of a run compiles ONE shape
+    regardless of the remainder length, instead of one single-step program
+    per distinct tail (minutes each through the TPU-compile tunnel;
+    round-1/2 finding).  Returns the observables of step ``todo - 1``."""
+    chunk = cfg.out_every
+
+    @jax.jit
+    def f(state: SimState, todo):
+        def inner(st, i):
+            st2, obs = jax.lax.cond(
+                i < todo,
+                lambda s: step_fn(s, cfg),
+                lambda s: (s, _zero_obs()),
+                st,
+            )
+            return st2, obs
+
+        state, obs = jax.lax.scan(inner, state, jnp.arange(chunk))
+        last = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(
+                x, jnp.maximum(todo - 1, 0), keepdims=False
+            ),
+            obs,
+        )
+        return state, last
+
+    return f
+
+
 def run(
     state: SimState,
     cfg: SimConfig,
@@ -102,7 +141,7 @@ def run(
     I/O layer (io/writers.py) plugs into, replacing main.cpp:2206-2305."""
     n_steps = n_steps if n_steps is not None else cfg.simu_step
     chunk_fn = make_chunk_fn(cfg)
-    step1 = make_step_fn(cfg)
+    masked_fn = None
 
     done = 0
     while done < n_steps:
@@ -110,9 +149,9 @@ def run(
         if todo == cfg.out_every:
             state, obs = chunk_fn(state)
         else:
-            obs = None
-            for _ in range(todo):
-                state, obs = step1(state)
+            if masked_fn is None:
+                masked_fn = make_masked_chunk_fn(cfg)
+            state, obs = masked_fn(state, jnp.asarray(todo, jnp.int32))
         done += todo
         if on_output is not None:
             on_output(state, obs)

@@ -224,6 +224,18 @@ def _align_kernel(a_xy_ref, a_dir_ref, b_center_ref, b_quat_ref,
         b_quat = jnp.where(sel_b[:, None], _quat_z_from_cs(dot, det), b_quat)
         b_laid_new = jnp.where(sel_b[:, None], 1, b_laid_new)
 
+    # mark active non-root molecules the depth sweep never reached (chain
+    # deeper than align_depth): a_snap = 2, b_laid bit 1.  The wrapper
+    # folds these into the dirty flag so the lazy ensemble path keeps
+    # realigning the replica (random roots cover the chain over passes)
+    # instead of permanently skipping a partially-idealized cluster.
+    unr_a = ((act[:na, 0] == 1) & (is_root[:na, 0] == 0)
+             & (depth_a >= float(_INF)))
+    a_snap = jnp.where(unr_a[:, None], 2, a_snap)
+    unr_b = ((act[na:, 0] == 1) & (is_root[na:, 0] == 0)
+             & (depth_b >= float(_INF)))
+    b_laid_new = jnp.where(unr_b[:, None], b_laid_new + 2, b_laid_new)
+
     out_a_xy[:] = a_xy
     out_a_dir[:] = a_dir
     out_a_snap[:] = a_snap
@@ -286,7 +298,8 @@ def _core_for(cfg: SimConfig, interpret: bool):
 def align_core(state, is_root, act, cfg: SimConfig, interpret=None):
     """Run the fused idealize core for ONE replica (vmap for ensembles —
     batched calls run a replica-blocked kernel via custom_vmap).
-    Returns (a_xy, a_psi, b_center, b_quat, b_laid)."""
+    Returns (a_xy, a_psi, b_center, b_quat, b_laid, unreached) where
+    ``unreached`` flags active molecules beyond align_depth this pass."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     a_dir_in = jnp.stack(
@@ -307,13 +320,15 @@ def align_core(state, is_root, act, cfg: SimConfig, interpret=None):
         act.astype(jnp.int32),
         ligand_template(cfg),
     )
-    a_snap = a_snap_v[:, None]
-    b_laid = b_laid_v[:, None]
     # ψ reconstruction happens in XLA (Mosaic has no atan2); un-snapped
-    # receptors keep their state ψ bitwise.
+    # receptors (snap != 1; snap == 2 marks unreached-but-active) keep
+    # their state ψ bitwise.
     a_psi = jnp.where(
-        a_snap[:, 0] > 0,
+        a_snap_v == 1,
         jnp.arctan2(a_dir[:, 1], a_dir[:, 0]),
         state.a_psi,
     )
-    return a_xy, a_psi, b_center, b_quat, b_laid[:, 0] > 0
+    # any active non-root molecule beyond align_depth -> caller keeps the
+    # replica dirty (lazy path must not skip a partially-idealized chain)
+    unreached = jnp.any(a_snap_v == 2) | jnp.any(b_laid_v >= 2)
+    return a_xy, a_psi, b_center, b_quat, (b_laid_v & 1) > 0, unreached

@@ -255,6 +255,14 @@ def _align_kernel_b(a_x_ref, a_y_ref, a_dx_ref, a_dy_ref,
         b_qz = jnp.where(sel_b, qzb, b_qz)
         b_laid_new = jnp.where(sel_b, 1, b_laid_new)
 
+    # unreached markers (chain deeper than align_depth): a_snap = 2,
+    # b_laid bit 1 — decoded by align_core into the dirty flag (see the
+    # single-replica kernel's comment in ops/pallas_align.py)
+    unr_a = act_a & (ir_a == 0) & (depth_a >= _INF)
+    a_snap = jnp.where(unr_a, 2, a_snap)
+    unr_b = act_b & (ir_b == 0) & (depth_b >= _INF)
+    b_laid_new = jnp.where(unr_b, b_laid_new + 2, b_laid_new)
+
     o_ax[:] = a_x
     o_ay[:] = a_y
     o_adx[:] = a_dx

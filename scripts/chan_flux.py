@@ -36,8 +36,60 @@ REF_COLS = ["step", "elig_trans", "elig_mono", "elig_cis", "acc_trans",
             "re_up", "re_down"]
 
 
-def run_refs(workdir, steps, boost, n_runs, out_every):
-    """Compile once, run n_runs instrumented references concurrently."""
+def build_preformed(cfg, n_complex=8):
+    """Deterministic state with ``n_complex`` preformed idealized 1-ligand
+    complexes (1/2/3 bound receptors cycling), remaining receptors free on
+    a grid, remaining ligands free in the volume.  Written as position.cpt
+    for the reference (it auto-resumes from it, main.cpp:226-270) and used
+    directly by our ensemble — both engines start from the IDENTICAL
+    configuration, so complex-cis encounter statistics are comparable
+    within ~100k steps instead of waiting ~1M steps for complexes to form."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from helpers import ideal_trans_pair, place_receptor
+
+    from kmc_tpu.state import empty_state
+    import jax as _jax
+
+    st = empty_state(cfg, _jax.random.key(0))
+    na, nb = cfg.n_a, cfg.n_b
+    lx, ly, lz = cfg.cell_range_x, cfg.cell_range_y, cfg.cell_range_z
+
+    spacing = lx / 4.0
+    a_used = 0
+    for k in range(n_complex):
+        m = (k % 3) + 1                       # 1, 2, 3 receptors
+        cx = -lx / 2 + spacing * (0.5 + (k % 4))
+        cy = -ly / 2 + spacing * (0.5 + (k // 4))
+        alpha = 2.399963 * k                  # golden-angle azimuths
+        for s in range(1, m + 1):
+            st = ideal_trans_pair(st, a=a_used, b=k, site=s, cfg=cfg,
+                                  center_xy=(cx, cy), alpha=alpha, bond=True)
+            a_used += 1
+    # free receptors on an offset grid (keeps everything far apart)
+    n_free_a = na - a_used
+    cols = 8
+    for i in range(n_free_a):
+        x = -lx / 2 + (lx / cols) * (0.5 + (i % cols))
+        y = -ly / 2 + (ly / cols) * (0.5 + (i // cols)) + spacing / 2
+        st = place_receptor(st, a_used + i, (x, y), 0.7 * i)
+    # free ligands high in the volume
+    for b in range(n_complex, nb):
+        j = b - n_complex
+        st = st._replace(b_center=st.b_center.at[b].set(jnp.asarray(
+            [-lx / 2 + (lx / 4) * (0.5 + (j % 4)),
+             -ly / 2 + (ly / 4) * (0.5 + (j // 4)),
+             0.75 * lz], jnp.float32)))
+    return st
+
+
+def run_refs(workdir, steps, boost, n_runs, out_every, cpt_state=None,
+             cfg=None):
+    """Compile once, run n_runs instrumented references concurrently.
+    With ``cpt_state``, each run starts by resuming our position.cpt
+    (reference restore path, main.cpp:226-270)."""
     import mini_golden as mg
 
     os.makedirs(workdir, exist_ok=True)
@@ -57,6 +109,11 @@ def run_refs(workdir, steps, boost, n_runs, out_every):
             p = os.path.join(rundir, f_)
             if os.path.exists(p):
                 os.remove(p)
+        if cpt_state is not None:
+            from kmc_tpu.io.checkpoint import save_reference_cpt
+
+            save_reference_cpt(os.path.join(rundir, "position.cpt"),
+                               cpt_state, cfg)
         procs.append(subprocess.Popen([exe], cwd=rundir,
                                       stdout=subprocess.DEVNULL,
                                       stderr=subprocess.DEVNULL))
@@ -69,7 +126,24 @@ def run_refs(workdir, steps, boost, n_runs, out_every):
     return out
 
 
-def run_ours(cfg, replicas, n_out, out_every, seed):
+def ensemble_from_state(st, replicas, seed):
+    """Broadcast one state to a replica ensemble with independent streams."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmc_tpu import rng
+
+    keys = jax.vmap(
+        lambda r: rng.replica_key(rng.base_key(seed), r)
+    )(jnp.arange(replicas))
+    bat = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (replicas, *x.shape)),
+        st._replace(key=jnp.zeros((), jnp.int32)),  # placeholder, set below
+    )
+    return bat._replace(key=keys)
+
+
+def run_ours(cfg, replicas, n_out, out_every, seed, init_state=None):
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +163,10 @@ def run_ours(cfg, replicas, n_out, out_every, seed):
         last = jax.tree.map(lambda x: x[-1], obs)
         return state, last, dg_sum
 
-    state = init_ensemble(cfg, replicas, seed=seed)
+    if init_state is not None:
+        state = ensemble_from_state(init_state, replicas, seed)
+    else:
+        state = init_ensemble(cfg, replicas, seed=seed)
     acc = None
     series = []
     for k in range(n_out):
@@ -112,6 +189,8 @@ def main():
     ap.add_argument("--workdir", default="/tmp/chanflux")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--preformed", type=int, default=0,
+                    help="start both engines from N preformed complexes")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -125,13 +204,16 @@ def main():
 
     import mini_golden as mg
 
+    cfg = mg.our_config(args.boost).replace(out_every=args.out_every)
+    pre = build_preformed(cfg, args.preformed) if args.preformed else None
+
     refs = run_refs(args.workdir, args.steps, args.boost, args.ref_runs,
-                    args.out_every)
+                    args.out_every, cpt_state=pre, cfg=cfg)
     n_out = min(r.shape[0] for r in refs)
     print(f"# reference: {len(refs)} runs x {n_out} outputs", file=sys.stderr)
 
-    cfg = mg.our_config(args.boost).replace(out_every=args.out_every)
-    ours = run_ours(cfg, args.replicas, n_out, args.out_every, args.seed)
+    ours = run_ours(cfg, args.replicas, n_out, args.out_every, args.seed,
+                    init_state=pre)
 
     report = {"config": {"steps": args.steps, "boost": args.boost,
                          "replicas": args.replicas,

@@ -111,7 +111,7 @@ def main():
         is_root = _choose_roots(s, info, rng.stream_key(skey,
                                                         rng.STREAM_ALIGN), cfg)
         act = info.size > 1
-        a_xy, a_psi, b_center, b_quat, b_laid = align_core(
+        a_xy, a_psi, b_center, b_quat, b_laid, _unr = align_core(
             s, is_root, act, cfg
         )
         return bump(s._replace(a_xy=a_xy, a_psi=a_psi, b_center=b_center,

@@ -18,7 +18,9 @@ from kmc_tpu.lattice.grid import (
 )
 from kmc_tpu.lattice.rejection_free import (
     event_rates,
+    make_rf_batch_chunk,
     make_rf_chunk,
+    rf_batch_step,
     rf_step,
 )
 from kmc_tpu.lattice.step import make_lattice_chunk
@@ -139,3 +141,61 @@ def test_equilibrium_matches_fixed_dt():
     # total mass accounted for in both
     assert fd[1:].sum() == pytest.approx(1.0, abs=1e-5)
     assert rf[1:].sum() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_batched_conservation_and_separation():
+    """rf_batch_step conserves particles, and every batch's changed cells
+    honor the exclusion radius (kept events are spatially independent)."""
+    cfg = LatticeConfig(height=32, width=32, hop_prob=0.3, ass_prob=0.4,
+                        diss_prob=0.2)
+    st = init_lattice(cfg, seed=5, n_particles=120)
+    step = jax.jit(lambda s: rf_batch_step(s, cfg, 16, 3))
+    for _ in range(30):
+        st2 = step(st)
+        assert int(particle_count(st2)) == 120
+        assert float(st2.time) >= float(st.time)
+        st = st2
+
+
+def test_batched_equilibrium_matches_serial():
+    """Batched rejection-free equilibrium (mass fractions) must match the
+    serial Gumbel-max mode at identical rates — the statistical contract
+    for the spatial-exclusion approximation."""
+    cfg = LatticeConfig(height=24, width=24, hop_prob=0.3, ass_prob=0.4,
+                        diss_prob=0.2)
+    reps, n_part = 8, 60
+    burn_t, sample_t, every_t = 400.0, 600.0, 25.0
+    rate_est = n_part * cfg.hop_prob * 1.2
+
+    # serial reference
+    sts = _replicated(cfg, reps, n_part)
+    sts = jax.vmap(make_rf_chunk(cfg, int(burn_t * rate_est)))(sts)
+    chunk = jax.vmap(make_rf_chunk(cfg, int(every_t * rate_est)))
+    acc = []
+    for _ in range(int(sample_t // every_t)):
+        sts = chunk(sts)
+        h = jax.vmap(lambda s: species_histogram(s).astype(jnp.float32))(sts)
+        sizes = jnp.arange(MAX_SPECIES + 1, dtype=jnp.float32)
+        acc.append(np.asarray(h * sizes) / n_part)
+    serial = np.mean(acc, axis=(0, 1))
+
+    # batched: k=16 events per batch
+    k = 16
+    batches = lambda t: max(int(t * rate_est / (k * 0.5)), 1)  # conservative
+    sts = _replicated(cfg, reps, n_part)
+    bchunk = jax.vmap(lambda s: make_rf_batch_chunk(cfg, batches(every_t), k
+                                                    )(s)[0])
+    sts = jax.vmap(lambda s: make_rf_batch_chunk(cfg, batches(burn_t), k
+                                                 )(s)[0])(sts)
+    acc = []
+    for _ in range(int(sample_t // every_t)):
+        sts = bchunk(sts)
+        h = jax.vmap(lambda s: species_histogram(s).astype(jnp.float32))(sts)
+        sizes = jnp.arange(MAX_SPECIES + 1, dtype=jnp.float32)
+        acc.append(np.asarray(h * sizes) / n_part)
+    batched = np.mean(acc, axis=(0, 1))
+
+    assert float(jnp.min(sts.time)) > burn_t + sample_t * 0.5
+    assert serial[1] == pytest.approx(batched[1], abs=0.08)
+    assert serial[2] == pytest.approx(batched[2], abs=0.08)
+    assert batched[1:].sum() == pytest.approx(1.0, abs=1e-5)
