@@ -213,9 +213,12 @@ def react(state: SimState, skey, cfg: SimConfig,
     )
 
     # ================= trans dissociation (C18) =================
+    # dissociation probabilities are ~1e-12 (rate * dt, main.cpp:91, :81,
+    # :86): they MUST use the 64-bit-resolution Bernoulli — an f32
+    # `uniform < p` fires at its ~2^-23 quantization (~1e-7) regardless of
+    # p, which round-2 validation exposed as the bond_cis kinetics bias
     k = rng.stream_key(skey, rng.STREAM_DISS_TRANS)
-    u = jax.random.uniform(k, (na,))
-    unbind = (a_trans >= 0) & (u < rp.p_trans_diss)
+    unbind = (a_trans >= 0) & rng.tiny_bernoulli(k, rp.p_trans_diss, (na,))
     # clear B side: scatter over (b, site)
     bidx = jnp.clip(a_trans - na, 0, nb - 1)
     sidx = jnp.clip(a_site - 1, 0, 2)
@@ -231,8 +234,7 @@ def react(state: SimState, skey, cfg: SimConfig,
     both_free = trans_free & trans_free[partner]
 
     def cis_unbind(key, prob, member_mask):
-        u = jax.random.uniform(key, (na,))
-        fire = has_cis & member_mask & (u < prob)
+        fire = has_cis & member_mask & rng.tiny_bernoulli(key, prob, (na,))
         brk = fire | fire[partner]                          # either member fires
         return brk
 

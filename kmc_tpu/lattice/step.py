@@ -53,9 +53,25 @@ SALT_SIGN = 4     # per-particle hop sign
 _DIRS = jnp.asarray([[0, 1], [1, 0], [0, -1], [-1, 0]], jnp.int32)
 
 
+def _static_zero(s) -> bool:
+    """True iff s is a compile-time zero shift.  Mosaic rejects the 0-width
+    slice a zero-component roll decomposes into ("vector types must have
+    positive constant sizes"), so the Pallas kernel variants (static
+    directions, ops/pallas_lattice.py) must drop no-op axes; traced shifts
+    (the XLA path) pass through untouched."""
+    return isinstance(s, int) and s == 0
+
+
 def _shift(x, dy, dx):
     """x shifted so entry [i,j] becomes the value at [i+dy, j+dx] (periodic)."""
-    return jnp.roll(x, shift=(-dy, -dx), axis=(0, 1))
+    shifts, axes = [], []
+    for s, ax in ((-dy, 0), (-dx, 1)):
+        if not _static_zero(s):
+            shifts.append(s)
+            axes.append(ax)
+    if not shifts:
+        return x
+    return jnp.roll(x, shift=tuple(shifts), axis=tuple(axes))
 
 
 def _parity_mask(h, w, axis_is_y, offset):
@@ -75,6 +91,14 @@ def _parity_mask_global(h, w, row0, col0, axis_is_y, offset):
     return jnp.mod(coord, 2) == offset
 
 
+def _bcast3(mask):
+    """bool[H, W] -> bool[H, W, 1] via an int32 round trip: Mosaic only
+    supports non-no-op minor-dim insertion for 32-bit types (i1 fails with
+    "Insertion of minor dim that is not a no-op only supported for 32-bit
+    types"); XLA fuses the cast away."""
+    return mask.astype(jnp.int32)[..., None] > 0
+
+
 def _hop_pass(grid, disp, moved, want, d):
     """One signed sub-pass: cells in ``want`` (attempting, sign matches,
     not already moved this step) hop to their d-neighbor if it is empty.
@@ -87,8 +111,8 @@ def _hop_pass(grid, disp, moved, want, d):
     new_grid = moved_grid + incoming
 
     dvec = jnp.stack([dy, dx]).astype(jnp.int32)
-    moved_disp = jnp.where(move[..., None], 0, disp)
-    inc_disp = _shift_back(jnp.where(move[..., None], disp + dvec, 0), dy, dx)
+    moved_disp = jnp.where(_bcast3(move), 0, disp)
+    inc_disp = _shift_back(jnp.where(_bcast3(move), disp + dvec, 0), dy, dx)
     new_disp = jnp.where(incoming[..., None] > 0, inc_disp, moved_disp)
     new_moved = (moved & ~move) | (incoming > 0)
     return new_grid, new_disp, new_moved
@@ -112,7 +136,14 @@ def _hop_substep(grid, disp, u_att, u_sgn, axis_idx):
 
 
 def _shift_back(x, dy, dx):
-    return jnp.roll(x, shift=(dy, dx), axis=(0, 1) if x.ndim == 2 else (0, 1))
+    shifts, axes = [], []
+    for s, ax in ((dy, 0), (dx, 1)):
+        if not _static_zero(s):
+            shifts.append(s)
+            axes.append(ax)
+    if not shifts:
+        return x
+    return jnp.roll(x, shift=tuple(shifts), axis=tuple(axes))
 
 
 def _react_substep(grid, disp, u_m, u_s, d, parity, cfg: LatticeConfig):
@@ -127,7 +158,7 @@ def _react_substep(grid, disp, u_m, u_s, d, parity, cfg: LatticeConfig):
     absorbed = _shift_back(jnp.where(merge, 1, 0), dy, dx) > 0
     grid1 = jnp.where(merge, grid + nb, grid)
     grid1 = jnp.where(absorbed, 0, grid1)
-    disp1 = jnp.where(absorbed[..., None], 0, disp)
+    disp1 = jnp.where(_bcast3(absorbed), 0, disp)
 
     # ---- split: source (parity on, k>=2) ejects a monomer into an empty
     #      d-neighbor (mutually exclusive with merge: neighbor was occupied)
@@ -137,7 +168,7 @@ def _react_substep(grid, disp, u_m, u_s, d, parity, cfg: LatticeConfig):
     grid2 = jnp.where(split, grid1 - 1, grid1) + jnp.where(receives, 1, 0)
     # ejected monomer starts with the parent's displacement
     parent_disp = _shift_back(disp1, dy, dx)
-    disp2 = jnp.where(receives[..., None], parent_disp, disp1)
+    disp2 = jnp.where(_bcast3(receives), parent_disp, disp1)
     return grid2, disp2
 
 

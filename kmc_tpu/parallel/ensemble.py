@@ -149,6 +149,37 @@ def make_lazy_ensemble_chunk(cfg: SimConfig, chunk: Optional[int] = None,
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
 
+def make_lazy_ensemble_chunk_hist(cfg: SimConfig,
+                                  chunk: Optional[int] = None,
+                                  k_align: Optional[int] = None,
+                                  donate: bool = True):
+    """Lazy-alignment chunk that also returns the final-step per-replica
+    cluster-size histogram — lets the statistical validator
+    (scripts/validate_vs_reference.py) run in the SAME event-driven mode
+    bench.py ships as default, so the lazy approximation is validated
+    against the reference at the scale it is used (VERDICT r2 #5)."""
+    from kmc_tpu.engine.clusters import cluster_labels
+    from kmc_tpu.engine.observables import cluster_histogram
+
+    chunk = chunk or cfg.out_every
+
+    def f(state):
+        k = k_align or max(state.step.shape[0] // 8, 32)
+
+        def inner(st, _):
+            return lazy_ensemble_step(st, cfg, k)
+
+        state, obs = jax.lax.scan(inner, state, None, length=chunk)
+
+        def hist_one(s):
+            return cluster_histogram(cluster_labels(s, cfg), cfg)
+
+        hist = jax.vmap(hist_one)(state)
+        return state, (jax.tree.map(lambda x: x[-1], obs), hist)
+
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
 def make_ensemble_chunk_hist(cfg: SimConfig, chunk: Optional[int] = None,
                              donate: bool = True):
     """Jitted vmapped multi-step advance returning (state, (obs, hist)) where

@@ -12,6 +12,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from kmc_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax
 
 H = W = int(os.environ.get("KMC_LAT_SIZE", "512"))

@@ -191,6 +191,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--preformed", type=int, default=0,
                     help="start both engines from N preformed complexes")
+    ap.add_argument("--reuse-refs", action="store_true",
+                    help="parse existing runN/chan.dat instead of re-running "
+                         "the reference (ours-side-only iteration)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -207,8 +210,15 @@ def main():
     cfg = mg.our_config(args.boost).replace(out_every=args.out_every)
     pre = build_preformed(cfg, args.preformed) if args.preformed else None
 
-    refs = run_refs(args.workdir, args.steps, args.boost, args.ref_runs,
-                    args.out_every, cpt_state=pre, cfg=cfg)
+    if args.reuse_refs:
+        refs = []
+        for r in range(args.ref_runs):
+            rows = np.loadtxt(os.path.join(args.workdir, f"run{r}",
+                                           "chan.dat"))
+            refs.append(rows.reshape(-1, len(REF_COLS)))
+    else:
+        refs = run_refs(args.workdir, args.steps, args.boost, args.ref_runs,
+                        args.out_every, cpt_state=pre, cfg=cfg)
     n_out = min(r.shape[0] for r in refs)
     print(f"# reference: {len(refs)} runs x {n_out} outputs", file=sys.stderr)
 

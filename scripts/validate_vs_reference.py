@@ -121,9 +121,11 @@ def msd_curve(times, frames, box_xy):
 KIN_COLS = ["bond_rl", "bond_mono_cis", "bond_cis", "bond_num"]
 
 
-def _run_ensemble(args, n_out, with_hist):
+def _run_ensemble(args, n_out, with_hist, on_progress=None):
     """Advance an ensemble n_out output intervals; returns
-    (kin[col] -> [n_out, replicas], hist[n_out, replicas, S+1] or None)."""
+    (kin[col] -> [n_out, replicas], hist[n_out, replicas, S+1] or None).
+    ``on_progress(k, kin_partial, hists_partial)`` fires every 10 outputs —
+    used to write partial reports so a timeout still leaves evidence."""
     import jax
 
     from kmc_tpu.config import SimConfig
@@ -131,7 +133,15 @@ def _run_ensemble(args, n_out, with_hist):
         init_ensemble, make_ensemble_chunk, make_ensemble_chunk_hist)
 
     cfg = SimConfig()
-    maker = make_ensemble_chunk_hist if with_hist else make_ensemble_chunk
+    lazy = getattr(args, "align_mode", "eager") == "lazy"
+    if lazy:
+        from kmc_tpu.parallel.ensemble import (
+            make_lazy_ensemble_chunk, make_lazy_ensemble_chunk_hist)
+
+        maker = (make_lazy_ensemble_chunk_hist if with_hist
+                 else make_lazy_ensemble_chunk)
+    else:
+        maker = make_ensemble_chunk_hist if with_hist else make_ensemble_chunk
     chunk = maker(cfg, cfg.out_every, donate=True)
     state = init_ensemble(cfg, args.replicas, seed=args.seed)
 
@@ -147,6 +157,9 @@ def _run_ensemble(args, n_out, with_hist):
         if (k + 1) % 10 == 0:
             print(f"# ensemble output {k + 1}/{n_out}", file=sys.stderr,
                   flush=True)
+            if on_progress is not None:
+                on_progress(k + 1, {c: np.stack(v) for c, v in kin.items()},
+                            np.stack(hists) if hists else None)
     jax.block_until_ready(state)
     kin = {c: np.stack(v) for c, v in kin.items()}
     return kin, (np.stack(hists) if hists else None)
@@ -239,28 +252,60 @@ def _clusters_report(hist_ens, ref_hists, args):
 
 
 def cmd_kinetics(args):
-    ref = read_bond_dat(args.ref_bond)
-    if ref.size == 0:
-        sys.exit("reference bond.dat is empty")
+    """Kinetics (+ optional clusters) validation against one or MORE
+    independent reference trajectories (each wall-clock-seeded run is its
+    own realization; every one must sit inside the ensemble band)."""
+    paths = args.ref_bond if isinstance(args.ref_bond, list) else \
+        [args.ref_bond]
+    refs = [read_bond_dat(p) for p in paths]
+    for p, r in zip(paths, refs):
+        if r.size == 0:
+            sys.exit(f"reference bond.dat is empty: {p}")
     if args.max_rows:
-        ref = ref[: args.max_rows]
+        refs = [r[: args.max_rows] for r in refs]
+    n_out = min(len(r) for r in refs)
+    refs = [r[:n_out] for r in refs]
 
     from kmc_tpu.engine.observables import MAX_HIST_SIZE
 
-    ref_hists = None
-    if args.ref_cluster:
-        _, ref_hists = read_cluster_log(args.ref_cluster, MAX_HIST_SIZE)
-        if args.max_rows:
-            ref_hists = ref_hists[: args.max_rows]
+    cpaths = args.ref_cluster or []
+    if isinstance(cpaths, str):
+        cpaths = [cpaths]
+    ref_hists = []
+    for p in cpaths:
+        _, h = read_cluster_log(p, MAX_HIST_SIZE)
+        ref_hists.append(h[: n_out])
 
-    kin, hist_ens = _run_ensemble(args, len(ref), with_hist=ref_hists
-                                  is not None)
-    report = {"kinetics": _kinetics_report(kin, ref, args)}
-    ok = report["kinetics"]["ok"]
-    if ref_hists is not None:
-        report["clusters"] = _clusters_report(hist_ens, ref_hists, args)
-        ok = ok and report["clusters"]["ok"]
-    report["ok"] = bool(ok)
+    def build_report(kin, hist_ens, k_avail):
+        report = {"ref_runs": paths, "kinetics_runs": [], "n_out": k_avail}
+        ok = True
+        for r in refs:
+            rep = _kinetics_report(kin, r[:k_avail], args)
+            report["kinetics_runs"].append(rep)
+            ok &= rep["ok"]
+        if ref_hists and hist_ens is not None:
+            report["clusters_runs"] = []
+            for h in ref_hists:
+                rep = _clusters_report(hist_ens, h[:k_avail], args)
+                report["clusters_runs"].append(rep)
+                ok &= rep["ok"]
+        report["ok"] = bool(ok)
+        return report
+
+    def on_progress(k, kin_p, hists_p):
+        if not args.out:
+            return
+        rep = build_report(kin_p, hists_p, k)
+        rep["partial"] = True
+        tmp = args.out + ".partial.tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(rep, indent=1) + "\n")
+        os.replace(tmp, args.out + ".partial")
+
+    kin, hist_ens = _run_ensemble(args, n_out, with_hist=bool(ref_hists),
+                                  on_progress=on_progress)
+    report = build_report(kin, hist_ens, n_out)
+    ok = report["ok"]
     txt = json.dumps(report, indent=1)
     print(txt)
     if args.out:
@@ -325,12 +370,16 @@ def cmd_msd(args):
 
 
 def main():
+    from kmc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="mode", required=True)
     k = sub.add_parser("kinetics")
-    k.add_argument("--ref-bond", required=True)
-    k.add_argument("--ref-cluster", default=None,
-                   help="reference cluster.log; adds the cluster-size-"
+    k.add_argument("--ref-bond", required=True, nargs="+",
+                   help="one or more reference bond.dat trajectories")
+    k.add_argument("--ref-cluster", default=None, nargs="*",
+                   help="reference cluster.log(s); adds the cluster-size-"
                         "distribution comparison to the same run")
     k.add_argument("--replicas", type=int, default=64)
     k.add_argument("--seed", type=int, default=0)
@@ -338,6 +387,11 @@ def main():
     k.add_argument("--min-coverage", type=float, default=0.9)
     k.add_argument("--max-rows", type=int, default=0,
                    help="compare only the first N reference outputs")
+    k.add_argument("--align-mode", choices=("eager", "lazy"),
+                   default="eager",
+                   help="'lazy' runs the event-driven alignment ensemble "
+                        "(bench.py's default mode) — validates the lazy "
+                        "approximation at ship scale")
     k.add_argument("--out", default=None, help="also write the report here")
     m = sub.add_parser("msd")
     m.add_argument("--ref-gro", required=True)

@@ -136,3 +136,32 @@ def test_double_scan_probability(small_cfg):
 
 def cfg_dt(cfg):
     return cfg.time_step
+
+
+def test_tiny_bernoulli_resolution():
+    """rng.tiny_bernoulli must (a) match moderate probabilities, (b) fire
+    essentially never at the reference's Diss_Rate*dt = 3.48e-12 — where a
+    raw f32 `uniform < p` fires at its ~2^-23 quantization atom (~1e-7),
+    the root cause of the round-2 bond_cis kinetics bias."""
+    key = jax.random.key(7)
+    n = 1_000_000
+    # moderate p: statistical match
+    p = 1e-3
+    hits = int(jnp.sum(rng.tiny_bernoulli(key, p, (n,))))
+    assert abs(hits - n * p) < 5 * np.sqrt(n * p)          # ~5 sigma
+    # tiny p: zero fires in 30M draws (expected 1e-4; the f32 comparison
+    # would fire ~3.6 times at its quantization floor)
+    total = 0
+    for i in range(30):
+        k = jax.random.fold_in(key, i)
+        total += int(jnp.sum(rng.tiny_bernoulli(k, 3.48e-12, (n,))))
+    assert total == 0
+    # demonstrate the f32 failure mode this replaces (documents the bug):
+    f32_fires = 0
+    for i in range(30):
+        k = jax.random.fold_in(key, 100 + i)
+        u = jax.random.uniform(k, (n,))
+        f32_fires += int(jnp.sum(u < 3.48e-12))
+    assert f32_fires > 0                                   # the broken form
+    # p = 0 never fires
+    assert int(jnp.sum(rng.tiny_bernoulli(key, 0.0, (n,)))) == 0
