@@ -132,13 +132,69 @@ def padded_block_call(cfg: LatticeConfig, grid, disp, step, seed,
     return jax.lax.switch(hop_axis * 4 + rct_dir, branches, scal, grid, disp)
 
 
+def tiled_block_call(cfg: LatticeConfig, grid, disp, step, seed,
+                     dir_idx, par_off, row0, col0, tile=(128, 128),
+                     interpret: bool | None = None,
+                     prepadded: bool = False):
+    """Advance an arbitrary block by ONE step as a grid of VMEM-sized
+    tiles, each padded with width-4 periodic ghosts and invoked at its
+    global origin.  Mosaic allocates scoped VMEM per live value without
+    cross-chain reuse, so the whole-grid kernel runs out at just 256^2
+    (measured 163.9 MB of 128 MB on v5e); 128^2 tiles keep every
+    invocation at ~40 MB.  Counter-hash randomness on global (mod-box)
+    coordinates makes the tiling trajectory-invariant — the same rule that
+    makes the cross-device halo composition exact (parallel/halo.py)."""
+    if prepadded:
+        # caller supplies a width-4-ghosted block (halo composition); the
+        # interior is (h-8, w-8) and ghosts come from the input, not wrap
+        gp, dp = grid, disp
+        h, w = grid.shape[0] - 8, grid.shape[1] - 8
+        row0, col0 = row0 + 4, col0 + 4       # origin of the interior
+    else:
+        h, w = grid.shape
+        gp = dp = None
+    th, tw = tile
+    th, tw = min(th, h), min(tw, w)
+    assert h % th == 0 and w % tw == 0, (h, w, tile)
+    if not prepadded and (th, tw) == (h, w):
+        return padded_block_call(cfg, grid, disp, step, seed, dir_idx,
+                                 par_off, row0, col0, interpret=interpret)
+    if gp is None:
+        gp = jnp.pad(grid, 4, mode="wrap")
+        dp = jnp.pad(disp, ((4, 4), (4, 4), (0, 0)), mode="wrap")
+    grows, drows = [], []
+    for ti in range(h // th):
+        gcols, dcols = [], []
+        for tj in range(w // tw):
+            gb = gp[ti * th: ti * th + th + 8, tj * tw: tj * tw + tw + 8]
+            db = dp[ti * th: ti * th + th + 8, tj * tw: tj * tw + tw + 8]
+            go, do = padded_block_call(
+                cfg, gb, db, step, seed, dir_idx, par_off,
+                row0 + ti * th - 4, col0 + tj * tw - 4, interpret=interpret,
+            )
+            gcols.append(go[4:-4, 4:-4])
+            dcols.append(do[4:-4, 4:-4])
+        grows.append(jnp.concatenate(gcols, axis=1))
+        drows.append(jnp.concatenate(dcols, axis=1))
+    return jnp.concatenate(grows, axis=0), jnp.concatenate(drows, axis=0)
+
+
+# default tile: VMEM-sized (see tiled_block_call); override for experiments
+import os as _os
+
+TILE = int(_os.environ.get("KMC_LAT_TILE", "128"))
+
+
 def pallas_lattice_step(state: LatticeState, cfg: LatticeConfig,
-                        interpret: bool | None = None) -> LatticeState:
+                        interpret: bool | None = None,
+                        tile=None) -> LatticeState:
     """One fused-kernel step, trajectory-identical to lattice_step."""
+    tile = tile or (TILE, TILE)
     dir_idx, par_off = step_controls(state)
-    grid, disp = padded_block_call(
+    grid, disp = tiled_block_call(
         cfg, state.grid, state.disp, state.step, state.seed,
-        dir_idx, par_off, jnp.int32(0), jnp.int32(0), interpret=interpret,
+        dir_idx, par_off, jnp.int32(0), jnp.int32(0), tile=tile,
+        interpret=interpret,
     )
     return state._replace(grid=grid, disp=disp, step=state.step + 1,
                           time=state.time + 1.0)

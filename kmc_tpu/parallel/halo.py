@@ -102,7 +102,7 @@ def make_halo_pallas_step(cfg, mesh, interpret: bool | None = None):
 
     from kmc_tpu.lattice.grid import LatticeState
     from kmc_tpu.lattice.step import step_controls
-    from kmc_tpu.ops.pallas_lattice import padded_block_call
+    from kmc_tpu.ops.pallas_lattice import TILE, tiled_block_call
 
     nx, ny = mesh.shape["x"], mesh.shape["y"]
     lh, lw = cfg.height // nx, cfg.width // ny
@@ -110,11 +110,16 @@ def make_halo_pallas_step(cfg, mesh, interpret: bool | None = None):
     def local_update(grid, disp, step, seed, dir_idx, par_off):
         row0 = jax.lax.axis_index("x") * lh - 4
         col0 = jax.lax.axis_index("y") * lw - 4
-        g, d = padded_block_call(
+        # prepadded tiling keeps each kernel invocation VMEM-sized even
+        # when a device owns a large block (BASELINE config 5: 8192^2 over
+        # a slice); ghosts come from the ppermute halo, not wrap
+        g, d = tiled_block_call(
             cfg, halo_pad(grid, 4), halo_pad(disp, 4), step, seed,
-            dir_idx, par_off, row0, col0, interpret=interpret,
+            dir_idx, par_off, row0, col0,
+            tile=(min(TILE, lh), min(TILE, lw)),
+            interpret=interpret, prepadded=True,
         )
-        return g[4:-4, 4:-4], d[4:-4, 4:-4]
+        return g, d
 
     shmapped = jax.shard_map(
         local_update,

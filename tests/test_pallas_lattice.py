@@ -22,3 +22,27 @@ def test_pallas_matches_xla_step():
     np.testing.assert_array_equal(np.asarray(a.grid), np.asarray(b.grid))
     np.testing.assert_array_equal(np.asarray(a.disp), np.asarray(b.disp))
     assert int(particle_count(b)) == int(particle_count(st))
+
+
+def test_tiled_pallas_matches_xla_step():
+    """The VMEM-tiled invocation (wrap ghosts + per-tile global origins)
+    must stay bitwise identical — the form actually used on hardware (the
+    whole-grid kernel exceeds v5e VMEM at 256^2)."""
+    import functools
+
+    import jax
+
+    from kmc_tpu.ops.pallas_lattice import pallas_lattice_step
+
+    cfg = LatticeConfig(height=64, width=64, density=0.15, ass_prob=0.3,
+                        diss_prob=0.1)
+    st = init_lattice(cfg, seed=7)
+    xla = make_lattice_step(cfg)
+    pls = jax.jit(functools.partial(pallas_lattice_step, cfg=cfg,
+                                    interpret=True, tile=(16, 16)))
+    a, b = st, st
+    for _ in range(20):
+        a = xla(a)
+        b = pls(b)
+    np.testing.assert_array_equal(np.asarray(a.grid), np.asarray(b.grid))
+    np.testing.assert_array_equal(np.asarray(a.disp), np.asarray(b.disp))
