@@ -7,7 +7,7 @@
 # evidence.
 set -u
 cd /root/repo
-timeout 20000 python scripts/validate_vs_reference.py kinetics \
+timeout 11000 python scripts/validate_vs_reference.py kinetics \
   --ref-bond /tmp/refgolden/bond.dat /tmp/refgolden2/bond.dat \
   --ref-cluster /tmp/refgolden/cluster.log /tmp/refgolden2/cluster.log \
   --replicas 256 --align-mode lazy --seed 1 \

@@ -142,13 +142,21 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
                  else make_lazy_ensemble_chunk)
     else:
         maker = make_ensemble_chunk_hist if with_hist else make_ensemble_chunk
-    chunk = maker(cfg, cfg.out_every, donate=True)
+    # one output interval = several device programs: a single 5000-step
+    # scan at 256 replicas runs ~165 s on-device, long enough to trip the
+    # tunnel worker's execution watchdog ("TPU worker process crashed or
+    # restarted", observed twice at r3 validation launch).  ~15 s programs
+    # are safe (round-2 ran ~60 s ones).
+    sub = max(int(getattr(args, "sub_chunks", 10)), 1)
+    assert cfg.out_every % sub == 0, (cfg.out_every, sub)
+    chunk = maker(cfg, cfg.out_every // sub, donate=True)
     state = init_ensemble(cfg, args.replicas, seed=args.seed)
 
     kin = {c: [] for c in KIN_COLS}
     hists = []
     for k in range(n_out):
-        state, out = chunk(state)
+        for _ in range(sub):
+            state, out = chunk(state)
         obs, hist = out if with_hist else (out, None)
         for c in KIN_COLS:
             kin[c].append(np.asarray(getattr(obs, c)))
@@ -387,6 +395,9 @@ def main():
     k.add_argument("--min-coverage", type=float, default=0.9)
     k.add_argument("--max-rows", type=int, default=0,
                    help="compare only the first N reference outputs")
+    k.add_argument("--sub-chunks", type=int, default=10,
+                   help="device programs per output interval (watchdog-"
+                        "safe program duration)")
     k.add_argument("--align-mode", choices=("eager", "lazy"),
                    default="eager",
                    help="'lazy' runs the event-driven alignment ensemble "
