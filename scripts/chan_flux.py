@@ -191,6 +191,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--preformed", type=int, default=0,
                     help="start both engines from N preformed complexes")
+    ap.add_argument("--max-out", type=int, default=0,
+                    help="cap the compared output rows (ours-side runtime)")
     ap.add_argument("--reuse-refs", action="store_true",
                     help="parse existing runN/chan.dat instead of re-running "
                          "the reference (ours-side-only iteration)")
@@ -220,6 +222,8 @@ def main():
         refs = run_refs(args.workdir, args.steps, args.boost, args.ref_runs,
                         args.out_every, cpt_state=pre, cfg=cfg)
     n_out = min(r.shape[0] for r in refs)
+    if args.max_out:
+        n_out = min(n_out, args.max_out)
     print(f"# reference: {len(refs)} runs x {n_out} outputs", file=sys.stderr)
 
     ours = run_ours(cfg, args.replicas, n_out, args.out_every, args.seed,

@@ -87,3 +87,26 @@ def test_observables_fields(small_cfg):
     assert float(obs.time_ns) == small_cfg.time_step
     assert int(obs.bond_num) == 0
     assert float(obs.cluster_size) == 0.0
+
+
+def test_run_driver_tail_masked_chunk(small_cfg):
+    """A non-multiple-of-out_every tail runs through the ONE fixed-shape
+    masked chunk (no per-tail-length compiles) and reproduces the exact
+    trajectory of plain stepping (RNG is keyed by state.step)."""
+    cfg = small_cfg.replace(out_every=20)
+    st0 = init_state(cfg, 3)
+    seen = []
+    st = run(st0, cfg, n_steps=50,
+             on_output=lambda s, o: seen.append(float(o.time_ns)))
+    assert seen == [200.0, 400.0, 500.0]
+    assert int(st.step) == 51
+
+    # trajectory equivalence vs plain stepping
+    ref = st0
+    step1 = make_step_fn(cfg)
+    for _ in range(50):
+        ref, _ = step1(ref)
+    np.testing.assert_allclose(np.asarray(st.a_xy), np.asarray(ref.a_xy),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(st.a_trans),
+                                  np.asarray(ref.a_trans))
