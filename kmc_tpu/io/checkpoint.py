@@ -174,6 +174,9 @@ def load_reference_cpt(path: str, cfg: SimConfig, seed: int = 0) -> SimState:
     b_mirrored = np.zeros((nb,), bool)
     arm = cfg.trimer_arm
     rb = cfg.rb_b_radius
+    from kmc_tpu.models.tnfr import ligand_template
+
+    tmpl_b = np.asarray(ligand_template(cfg))    # hoisted (ADVICE r3)
     for b in range(nb):
         coords = np.zeros((4, 2, 3))
         stats = []
@@ -198,9 +201,6 @@ def load_reference_cpt(path: str, cfg: SimConfig, seed: int = 0) -> SimState:
         # only (its det is |yv x zv|^2, never negative), so mirroring shows
         # up as beads 3 and 4 sitting at each other's EXPECTED positions
         # (2*R_B = 60 A apart — robust against %.3f rounding).
-        from kmc_tpu.models.tnfr import ligand_template
-
-        tmpl_b = np.asarray(ligand_template(cfg))
         e2 = center + m @ tmpl_b[2, 0]
         e3 = center + m @ tmpl_b[3, 0]
         if (np.sum((coords[2, 0] - e2) ** 2)

@@ -274,16 +274,25 @@ def rf_batch_step(state: LatticeState, cfg: LatticeConfig,
 
 def make_rf_batch_chunk(cfg: LatticeConfig, n_batches: int,
                         k_events: int = 64, exclusion: int = 3):
-    """Jitted ``n_batches``-batch advance; returns (state, events_applied)."""
+    """Jitted ``n_batches``-batch advance; returns (state, dts) where
+    ``dts[i]`` is batch i's accumulated waiting time (zero iff that batch
+    applied no events).
+
+    Like ``_make_rf_chunk_dt``, time accumulates from ZERO within the chunk
+    and is added to the start time once — so a long-run f32 time axis does
+    not stall once a batch dt drops below ulp(time) (ADVICE r2/r3)."""
 
     @jax.jit
     def f(state: LatticeState):
+        t0 = state.time
+        state = state._replace(time=jnp.zeros_like(state.time))
+
         def inner(st, _):
             st2 = rf_batch_step(st, cfg, k_events, exclusion)
             return st2, st2.time - st.time
 
         state, dts = jax.lax.scan(inner, state, None, length=n_batches)
-        return state, dts
+        return state._replace(time=t0 + state.time), dts
 
     return f
 

@@ -153,9 +153,16 @@ def tiled_block_call(cfg: LatticeConfig, grid, disp, step, seed,
     else:
         h, w = grid.shape
         gp = dp = None
-    th, tw = tile
-    th, tw = min(th, h), min(tw, w)
-    assert h % th == 0 and w % tw == 0, (h, w, tile)
+    def fit(dim, t):
+        """Largest tile <= t that divides dim (ADVICE r3: sizes that are
+        > tile but not a multiple of it, e.g. 192 or 320, must fall back
+        to a divisor tile instead of failing at trace time)."""
+        t = min(t, dim)
+        while dim % t:
+            t -= 1
+        return t
+
+    th, tw = fit(h, tile[0]), fit(w, tile[1])
     if not prepadded and (th, tw) == (h, w):
         return padded_block_call(cfg, grid, disp, step, seed, dir_idx,
                                  par_off, row0, col0, interpret=interpret)

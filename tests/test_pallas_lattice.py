@@ -46,3 +46,27 @@ def test_tiled_pallas_matches_xla_step():
         b = pls(b)
     np.testing.assert_array_equal(np.asarray(a.grid), np.asarray(b.grid))
     np.testing.assert_array_equal(np.asarray(a.disp), np.asarray(b.disp))
+
+
+def test_tiled_pallas_non_multiple_size_falls_back():
+    """Grid sizes > tile but not a multiple of it (e.g. 48 with 32-tiles)
+    must fall back to the largest divisor tile instead of failing at trace
+    time (ADVICE r3) — and stay bitwise identical to XLA."""
+    import functools
+
+    import jax
+
+    from kmc_tpu.ops.pallas_lattice import pallas_lattice_step
+
+    cfg = LatticeConfig(height=48, width=48, density=0.15, ass_prob=0.3,
+                        diss_prob=0.1)
+    st = init_lattice(cfg, seed=3)
+    xla = make_lattice_step(cfg)
+    pls = jax.jit(functools.partial(pallas_lattice_step, cfg=cfg,
+                                    interpret=True, tile=(32, 32)))
+    a, b = st, st
+    for _ in range(6):
+        a = xla(a)
+        b = pls(b)
+    np.testing.assert_array_equal(np.asarray(a.grid), np.asarray(b.grid))
+    np.testing.assert_array_equal(np.asarray(a.disp), np.asarray(b.disp))

@@ -165,3 +165,116 @@ def test_tiny_bernoulli_resolution():
     assert f32_fires > 0                                   # the broken form
     # p = 0 never fires
     assert int(jnp.sum(rng.tiny_bernoulli(key, 0.0, (n,)))) == 0
+
+
+def _pair_hist_symmetric(match_fn, score_fn, n_trials, na, p, rounds, seed):
+    """Committed-pair histogram + per-trial committed counts for the
+    symmetric matcher under heavy contention (all pairs eligible)."""
+    import jax
+
+    elig = ~jnp.eye(na, dtype=bool)
+
+    def trial(key):
+        ku, ks = jax.random.split(key)
+        u = jax.random.uniform(ku, (na, na))
+        fire = (u < p) | (u.T < p)
+        cand = elig & fire
+        score = score_fn(u, ks)
+        from kmc_tpu.engine.reactions import _mutual_match_symmetric
+
+        m = _mutual_match_symmetric(cand, score, rounds)
+        return m, jnp.sum(m) // 2
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(seed), i))(
+        jnp.arange(n_trials))
+    ms, counts = jax.jit(jax.vmap(trial))(keys)
+    return np.asarray(jnp.sum(ms, axis=0)), np.asarray(counts)
+
+
+def test_matching_tiebreak_independence():
+    """VERDICT r3 #5: the matching priority `(u*7919)%1` reuses the fire
+    uniforms; under contention the committed-pair distribution must be
+    indistinguishable from matching on an INDEPENDENT uniform priority.
+    Chi-square two-sample test on committed-pair frequencies plus a mean
+    committed-count comparison, at a fire probability high enough that
+    nearly every trial has contention (na=6, p=0.3)."""
+    na, p, rounds, trials = 6, 0.3, 2, 20000
+
+    def score_mixed(u, ks):
+        s = (u * 7919.0) % 1.0
+        return jnp.minimum(s, s.T)
+
+    def score_indep(u, ks):
+        s = jax.random.uniform(ks, (na, na))
+        return jnp.minimum(s, s.T)
+
+    h_mix, c_mix = _pair_hist_symmetric(None, score_mixed, trials, na, p,
+                                        rounds, seed=11)
+    h_ind, c_ind = _pair_hist_symmetric(None, score_indep, trials, na, p,
+                                        rounds, seed=12)
+
+    # all-pairs symmetric geometry: every unordered pair is exchangeable, so
+    # compare the two implementations' pair-frequency tables directly
+    iu = np.triu_indices(na, 1)
+    o1, o2 = h_mix[iu].astype(float), h_ind[iu].astype(float)
+    # two-sample chi-square over the 15 pair bins
+    tot1, tot2 = o1.sum(), o2.sum()
+    exp1 = (o1 + o2) * tot1 / (tot1 + tot2)
+    exp2 = (o1 + o2) * tot2 / (tot1 + tot2)
+    chi2 = float(np.sum((o1 - exp1) ** 2 / exp1 + (o2 - exp2) ** 2 / exp2))
+    dof = len(o1) - 1
+    # p-value via Wilson-Hilferty approximation (no scipy dependency)
+    z = ((chi2 / dof) ** (1 / 3) - (1 - 2 / (9 * dof))) / np.sqrt(2 / (9 * dof))
+    assert z < 3.5, (chi2, dof, z)         # not improbably different
+
+    # each pair bin should also be individually uniform across the 15 bins
+    for h in (o1, o2):
+        exp = h.sum() / len(h)
+        chi2u = float(np.sum((h - exp) ** 2 / exp))
+        zu = (((chi2u / dof) ** (1 / 3) - (1 - 2 / (9 * dof)))
+              / np.sqrt(2 / (9 * dof)))
+        assert zu < 3.5, (chi2u, zu)
+
+    # committed-count distributions must agree (mean within joint 5 sigma)
+    se = np.sqrt(c_mix.var() / trials + c_ind.var() / trials)
+    assert abs(c_mix.mean() - c_ind.mean()) < 5 * se, (
+        c_mix.mean(), c_ind.mean(), se)
+
+
+def test_matching_tiebreak_independence_bipartite():
+    """Same independence check for the bipartite (trans) matcher: committed
+    column histogram per row under contention, mixed vs independent score."""
+    import jax
+
+    from kmc_tpu.engine.reactions import _mutual_match_bipartite
+
+    ni, ns, p, rounds, trials = 5, 6, 0.3, 2, 20000
+
+    def run(score_from_u, seed):
+        def trial(key):
+            ku, ks = jax.random.split(key)
+            u = jax.random.uniform(ku, (ni, ns))
+            cand = u < p
+            score = ((u * 7919.0) % 1.0 if score_from_u
+                     else jax.random.uniform(ks, (ni, ns)))
+            m = _mutual_match_bipartite(cand, score, rounds)
+            return m, jnp.sum(m)
+
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.key(seed), i)
+        )(jnp.arange(trials))
+        ms, counts = jax.jit(jax.vmap(trial))(keys)
+        return np.asarray(jnp.sum(ms, axis=0)), np.asarray(counts)
+
+    h_mix, c_mix = run(True, 21)
+    h_ind, c_ind = run(False, 22)
+    o1, o2 = h_mix.ravel().astype(float), h_ind.ravel().astype(float)
+    tot1, tot2 = o1.sum(), o2.sum()
+    exp1 = (o1 + o2) * tot1 / (tot1 + tot2)
+    exp2 = (o1 + o2) * tot2 / (tot1 + tot2)
+    chi2 = float(np.sum((o1 - exp1) ** 2 / exp1 + (o2 - exp2) ** 2 / exp2))
+    dof = len(o1) - 1
+    z = ((chi2 / dof) ** (1 / 3) - (1 - 2 / (9 * dof))) / np.sqrt(2 / (9 * dof))
+    assert z < 3.5, (chi2, dof, z)
+    se = np.sqrt(c_mix.var() / trials + c_ind.var() / trials)
+    assert abs(c_mix.mean() - c_ind.mean()) < 5 * se
