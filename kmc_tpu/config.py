@@ -71,7 +71,8 @@ class SimConfig:
     cis_thetaot_cutoff: float = 10.0
 
     # ---- TPU-engine knobs (new; no reference equivalent) ----
-    label_prop_iters: int = 6          # pointer-jumping rounds for cluster labels
+    label_closure_iters: int = 8       # adjacency-matrix squarings for cluster
+    #   labels: coverage = 2^iters hops >= n guarantees exact components
     #   (resolves component diameters up to 2^6 — far beyond physical complexes)
     align_depth: int = 8               # max BFS depth idealized per step
     #   (snap chains longer than this finish over subsequent steps; the

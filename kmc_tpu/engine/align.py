@@ -37,6 +37,7 @@ from kmc_tpu.config import SimConfig
 from kmc_tpu.engine.clusters import ClusterInfo
 from kmc_tpu.engine.diffusion import cluster_reject
 from kmc_tpu.geometry import align_angle_2d, quat_axis_z, quat_rotate
+from kmc_tpu.ops import dense
 from kmc_tpu.ops.segment import seg_max, seg_min
 from kmc_tpu.models.tnfr import (
     b_center_offset,
@@ -81,7 +82,11 @@ def _choose_roots(state: SimState, info: ClusterInfo, skey, cfg: SimConfig):
     prio = u + jnp.where(laid_full, 0.0, 10.0) + jnp.where(is_b, 0.0, 1e6)
     prio = prio + idx * 1e-7                              # deterministic tiebreak
     best = seg_min(prio, info.label, n)
-    root_b = (jnp.abs(prio - best[info.label]) < 1e-9) & is_b & (info.n_b > 0)
+    # non-label rows hold seg_min's +inf filler — a matmul gather would turn
+    # 0*inf into NaN, so replace with a finite sentinel (never selected)
+    best = jnp.where(jnp.isfinite(best), best, 3e9)
+    best_m = dense.take(best, dense.onehot(info.label, n))  # per molecule
+    root_b = (jnp.abs(prio - best_m) < 1e-9) & is_b & (info.n_b > 0)
     root_a = (idx == info.label) & (info.n_b == 0)
     return root_b | root_a
 
@@ -123,7 +128,7 @@ def _collision_revert(state: SimState, prop: SimState, info: ClusterInfo,
 
     p_new = positions(prop, cfg)
     rej = cluster_reject(p_new, p_new, info.label, cfg) & changed
-    keep = ~rej[info.label]                               # per molecule
+    keep = ~dense.take(rej, dense.onehot(info.label, n))  # per molecule
 
     # reverted clusters stay un-idealized -> retried next step; a revert-
     # free pass leaves every active cluster at ideal geometry (clean)
@@ -250,7 +255,7 @@ def idealize(state: SimState, info: ClusterInfo, skey, cfg: SimConfig) -> SimSta
 
     p_new = positions(prop, cfg)
     rej = cluster_reject(p_new, p_new, info.label, cfg) & changed
-    keep = ~rej[info.label]                               # per molecule
+    keep = ~dense.take(rej, dense.onehot(info.label, n))  # per molecule
 
     # reverted clusters stay un-idealized -> retried next step; a revert-
     # free pass leaves every active cluster at ideal geometry (clean)

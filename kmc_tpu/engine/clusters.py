@@ -2,13 +2,18 @@
 
 The reference finds complexes with a queue-based BFS seeded from each ligand
 (main.cpp:505-562).  Queues and data-dependent loops do not map to XLA; the
-TPU equivalent is min-label propagation with pointer jumping: every molecule
-starts labeled with its own index, repeatedly takes the min label over its
-bond-graph neighbors, then jumps ``label <- label[label]``.  Because labels
-are molecule indices, pointer jumping halves the distance to the component
-root each round, so ``label_prop_iters = 8`` rounds resolve any component of
-diameter up to 2^8 (far beyond physical complex sizes, which the mobility
-gate at main.cpp:984-985 keeps small).
+round-1-3 TPU design used min-label propagation with pointer jumping, but
+its per-iteration index gathers (``label[label]``) lower to scalar-core
+loops on TPU — measured ~15 ms/step at replica-batch 512, the single
+largest cost in the whole engine (scripts/trace_step_tpu.py).
+
+The round-4 design is fully dense: build the bond-graph adjacency matrix
+A[i, j] (with self-loops) once per step, square it ``label_closure_iters``
+times on the MXU (boolean transitive closure; k squarings cover components
+of diameter 2^k — 2^8 = 256 > n guarantees exactness for ANY topology),
+and read everything off the reachability matrix: label = min reachable
+molecule index, size = row sum, #A/#B = partial row sums.  No gathers, no
+segment reductions; bitwise-identical labels to the propagation form.
 
 Outputs per molecule: component label (min molecule index in component),
 component size, #A, #B — the inputs the diffusion engine needs (SURVEY §3.3).
@@ -22,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from kmc_tpu.config import SimConfig
-from kmc_tpu.ops.segment import seg_sum
 from kmc_tpu.state import SimState, neighbors
 
 
@@ -34,29 +38,39 @@ class ClusterInfo(NamedTuple):
     is_root: jax.Array  # bool[n] molecule is its component's label
 
 
-def cluster_labels(state: SimState, cfg: SimConfig) -> ClusterInfo:
+def reachability(state: SimState, cfg: SimConfig):
+    """bool[n, n] transitive closure of the bond graph (incl. self-loops).
+
+    Dense boolean matrix powering: A <- (A @ A > 0), squared
+    ``label_closure_iters`` times; the matmuls run in bf16 on the MXU with
+    f32 accumulation — entries are exact small counts, so the > 0 threshold
+    is exact and the closure is bitwise-deterministic.
+    """
     nbr = neighbors(state, cfg)                   # i32[n, 3], -1 padded
     n = cfg.n
     idx = jnp.arange(n, dtype=jnp.int32)
+    adj = jnp.any(nbr[:, :, None] == idx[None, None, :], axis=1)
+    adj = adj | jnp.eye(n, dtype=bool)
+    reach = adj.astype(jnp.bfloat16)
+    for _ in range(cfg.label_closure_iters):      # coverage 2^iters >= n
+        prod = jnp.matmul(reach, reach, preferred_element_type=jnp.float32)
+        reach = (prod > 0.5).astype(jnp.bfloat16)
+    return reach > 0.5
 
-    label = idx
-    clipped = jnp.clip(nbr, 0)
-    pad = nbr < 0
-    for _ in range(cfg.label_prop_iters):       # unrolled: tiny bodies fuse
-        # neighbor-min: gather labels of up to 3 neighbors (self for -1 pads)
-        nls = jnp.where(pad, label[:, None], label[clipped])
-        label = jnp.minimum(label, jnp.min(nls, axis=1))
-        # pointer jumping: label <- label[label]
-        label = jnp.minimum(label, label[label])
 
-    ones = jnp.ones((n,), jnp.int32)
-    size_per_label = seg_sum(ones, label, n)
-    a_per_label = seg_sum((idx < cfg.n_a).astype(jnp.int32), label, n)
-    b_per_label = seg_sum((idx >= cfg.n_a).astype(jnp.int32), label, n)
+def cluster_labels(state: SimState, cfg: SimConfig) -> ClusterInfo:
+    n = cfg.n
+    idx = jnp.arange(n, dtype=jnp.int32)
+    reach = reachability(state, cfg)
+    label = jnp.min(jnp.where(reach, idx[None, :], n), axis=1).astype(
+        jnp.int32
+    )
+    size = jnp.sum(reach, axis=1, dtype=jnp.int32)
+    in_a = jnp.sum(reach[:, : cfg.n_a], axis=1, dtype=jnp.int32)
     return ClusterInfo(
         label=label,
-        size=size_per_label[label],
-        n_a=a_per_label[label],
-        n_b=b_per_label[label],
+        size=size,
+        n_a=in_a,
+        n_b=size - in_a,
         is_root=label == idx,
     )

@@ -47,6 +47,7 @@ from kmc_tpu.config import SimConfig
 from kmc_tpu.engine.clusters import ClusterInfo
 from kmc_tpu.engine.params import RuntimeParams, from_config
 from kmc_tpu.geometry import mat3_apply, quat_from_euler, quat_mul, quat_to_mat
+from kmc_tpu.ops import dense
 from kmc_tpu.ops.segment import seg_max, seg_sum
 from kmc_tpu.state import SimState, positions
 
@@ -138,15 +139,22 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
     d, rot_d, free_b = mobility(info, cfg, rp)
     moving = (d > 0) | (rot_d > 0)
 
+    # one-hot of the label vector, shared by every per-label lookup below:
+    # on TPU a traced-index gather lowers to a scalar-core loop (1-3 ms per
+    # gather at batch 512, the round-3 bottleneck) while the one-hot matmul
+    # is an exact MXU microsecond op (ops/dense.py)
+    ohl = dense.onehot(label, n)
+
     # --- per-cluster draws (rows indexed by cluster label) ---
     n_draw = 7 if cfg.sweep_collisions else 6
     u = jax.random.uniform(skey, (n, n_draw))
-    u_amp = u[label, 0]
-    phai = u[label, 1] * 2.0 * jnp.pi
+    uc = dense.take(u, ohl)                     # u[label, :] for all columns
+    u_amp = uc[:, 0]
+    phai = uc[:, 1] * 2.0 * jnp.pi
     if cfg.sin_weighted_theta:
-        theta_dir = jnp.arccos(1.0 - 2.0 * u[label, 2])
+        theta_dir = jnp.arccos(1.0 - 2.0 * uc[:, 2])
     else:
-        theta_dir = u[label, 2] * jnp.pi        # reference quirk (main.cpp:910)
+        theta_dir = uc[:, 2] * jnp.pi           # reference quirk (main.cpp:910)
 
     # displacement magnitude 2*sqrt(D dt/6)*U (main.cpp:585, 693, 909, 990)
     amp = 2.0 * jnp.sqrt(d * dt / 6.0) * u_amp
@@ -181,14 +189,15 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
     shift = jnp.stack(
         [lx * jnp.round(mean[:, 0] / lx), ly * jnp.round(mean[:, 1] / ly)], axis=-1
     )                                                              # per label
-    a_xy = a_xy - shift[label[:na]]
-    b_center = b_center.at[:, :2].add(-shift[label[na:]])
+    shift_m = dense.take(shift, ohl)                               # per molecule
+    a_xy = a_xy - shift_m[:na]
+    b_center = b_center.at[:, :2].add(-shift_m[na:])
 
     # --- cluster rotation about COM (main.cpp:609-635, 724-766, 1087-1128) ---
     rot_scale = jnp.sqrt(rot_d * dt)
-    psai = (2.0 * u[label, 3] - 1.0) * rot_scale
-    theta = (2.0 * u[label, 4] - 1.0) * rot_scale * free_b
-    phi = (2.0 * u[label, 5] - 1.0) * rot_scale * free_b
+    psai = (2.0 * uc[:, 3] - 1.0) * rot_scale
+    theta = (2.0 * uc[:, 4] - 1.0) * rot_scale * free_b
+    phi = (2.0 * uc[:, 5] - 1.0) * rot_scale * free_b
 
     centers = jnp.concatenate(
         [
@@ -206,8 +215,11 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
     rot = quat_to_mat(quat_from_euler(theta, phi, psai))           # [n, 3, 3]
     q_delta = quat_from_euler(theta, phi, psai)
 
-    com_m = com[label]                                             # per molecule
-    rot_m = rot[label]
+    com_m = dense.take(com, ohl)                                   # per molecule
+    # rot[label] == rot elementwise: every input to rot (uc, rot_scale,
+    # free_b via theta/phi) is cluster-uniform and label[label] == label,
+    # so the per-label re-gather the reference-shaped code did is a no-op
+    rot_m = rot
     new_centers = mat3_apply(rot_m, centers - com_m) + com_m
     a_xy = new_centers[:na, :2]
     a_psi = state.a_psi + psai[:na]
@@ -239,11 +251,10 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
         # diffuse the round-2 hot spot (11.2 ms/step at batch 256).
         hit_nn = collide_matrix(p, p, cfg)
         hit_no = collide_matrix(p, c, cfg)
-        ohf = (label[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
         offdiag = ~jnp.eye(n, dtype=bool)
 
         def to_labels(hit):
-            h = ohf.T @ hit.astype(jnp.float32) @ ohf
+            h = ohl.T @ hit.astype(jnp.float32) @ ohl
             return (h > 0) & offdiag              # cross-cluster pairs only
 
         h_nn = to_labels(hit_nn)                  # [label, label]
@@ -295,7 +306,7 @@ def diffuse(state: SimState, info: ClusterInfo, skey, cfg: SimConfig,
         # round-1 symmetric rule (stricter: double-counts collisions)
         rej = cluster_reject(p, p, label, cfg) | cluster_reject(p, c, label, cfg)
         residual = jnp.array(False)
-    ok = (~rej[label]) & moving                                    # per molecule
+    ok = (~dense.take(rej, ohl)) & moving                          # per molecule
 
     sel2 = ok[:na, None]
     out = state._replace(

@@ -41,11 +41,16 @@ class Observables(NamedTuple):
 
 
 def bond_counters(state: SimState, cfg: SimConfig):
+    from kmc_tpu.ops import dense
+
     rl = jnp.sum(state.a_trans >= 0).astype(jnp.int32)
     has_cis = state.a_cis >= 0
     partner = jnp.clip(state.a_cis, 0, cfg.n_a - 1)
     trans_free = state.a_trans < 0
-    mono_members = has_cis & trans_free & trans_free[partner]
+    # partner lookup via one-hot matmul (ops/dense.py: traced-index gathers
+    # run on the TPU scalar core)
+    tf_partner = dense.take(trans_free, dense.onehot(partner, cfg.n_a))
+    mono_members = has_cis & trans_free & tf_partner
     mono = (jnp.sum(mono_members) // 2).astype(jnp.int32)
     total_cis = (jnp.sum(has_cis) // 2).astype(jnp.int32)
     cis = total_cis - mono

@@ -36,6 +36,7 @@ from kmc_tpu import rng
 from kmc_tpu.config import SimConfig
 from kmc_tpu.engine.params import RuntimeParams, from_config
 from kmc_tpu.geometry import angle_gate_above_deg, angle_gate_below_deg
+from kmc_tpu.ops import dense
 from kmc_tpu.state import SimState, positions
 
 
@@ -219,10 +220,11 @@ def react(state: SimState, skey, cfg: SimConfig,
     # p, which round-2 validation exposed as the bond_cis kinetics bias
     k = rng.stream_key(skey, rng.STREAM_DISS_TRANS)
     unbind = (a_trans >= 0) & rng.tiny_bernoulli(k, rp.p_trans_diss, (na,))
-    # clear B side: scatter over (b, site)
+    # clear B side over (b, site): dense scatter (ops/dense.py — a traced-
+    # index .at[].max hits the same scalar-core path as gathers)
     bidx = jnp.clip(a_trans - na, 0, nb - 1)
     sidx = jnp.clip(a_site - 1, 0, 2)
-    clear = jnp.zeros((nb, 3), bool).at[bidx, sidx].max(unbind)
+    clear = dense.scatter_or_2d(bidx, sidx, unbind, nb, 3)
     b_partner = jnp.where(clear, -1, b_partner)
     a_trans = jnp.where(unbind, -1, a_trans)
     a_site = jnp.where(unbind, -1, a_site)
@@ -231,11 +233,12 @@ def react(state: SimState, skey, cfg: SimConfig,
     trans_free = a_trans < 0
     has_cis = a_cis >= 0
     partner = jnp.clip(a_cis, 0, na - 1)
-    both_free = trans_free & trans_free[partner]
+    ohp = dense.onehot(partner, na)            # shared partner-gather one-hot
+    both_free = trans_free & dense.take(trans_free, ohp)
 
     def cis_unbind(key, prob, member_mask):
         fire = has_cis & member_mask & rng.tiny_bernoulli(key, prob, (na,))
-        brk = fire | fire[partner]                          # either member fires
+        brk = fire | dense.take(fire, ohp)                  # either member fires
         return brk
 
     k = rng.stream_key(skey, rng.STREAM_DISS_MONO_CIS)

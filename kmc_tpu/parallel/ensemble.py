@@ -32,6 +32,26 @@ def init_ensemble(cfg: SimConfig, n_replicas: int, seed: int = 0) -> SimState:
     return jax.jit(jax.vmap(one))(jnp.arange(n_replicas))
 
 
+def broadcast_ensemble(state: SimState, n_replicas: int,
+                       seed: int = 0) -> SimState:
+    """One SimState -> a replica ensemble starting from that IDENTICAL
+    configuration with independent Threefry streams per replica.
+
+    The anchor-continuation form of init_ensemble: used to continue a
+    reference checkpoint (io/checkpoint.load_reference_cpt) as an ensemble,
+    so the oracle's own onward trajectory can be tested against the
+    ensemble's predictive band from the same start (validation of the late
+    horizon without re-simulating from t=0)."""
+    keys = jax.vmap(
+        lambda r: _rng.replica_key(_rng.base_key(seed), r)
+    )(jnp.arange(n_replicas))
+    bat = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_replicas, *x.shape)),
+        state._replace(key=jnp.zeros((), jnp.int32)),   # key set below
+    )
+    return bat._replace(key=keys)
+
+
 def make_ensemble_step(cfg: SimConfig, donate: bool = True):
     """Jitted vmapped step: batched SimState -> (SimState, batched Observables).
 

@@ -33,6 +33,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -125,7 +126,14 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
     """Advance an ensemble n_out output intervals; returns
     (kin[col] -> [n_out, replicas], hist[n_out, replicas, S+1] or None).
     ``on_progress(k, kin_partial, hists_partial)`` fires every 10 outputs —
-    used to write partial reports so a timeout still leaves evidence."""
+    used to write partial reports so a timeout still leaves evidence.
+
+    With ``args.init_cpt`` the ensemble starts from a REFERENCE
+    position.cpt broadcast to all replicas (anchor continuation); with
+    ``args.write_outputs`` replica 0's full reference-compatible output
+    file set (bond.dat / test.gro / cluster.log / position.cpt + ensemble
+    series) is written as the run progresses — the engine producing the
+    reference's complete deliverable while it is being validated."""
     import jax
 
     from kmc_tpu.config import SimConfig
@@ -150,8 +158,24 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
     sub = max(int(getattr(args, "sub_chunks", 10)), 1)
     assert cfg.out_every % sub == 0, (cfg.out_every, sub)
     chunk = maker(cfg, cfg.out_every // sub, donate=True)
-    state = init_ensemble(cfg, args.replicas, seed=args.seed)
+    if getattr(args, "init_cpt", None):
+        from kmc_tpu.io.checkpoint import load_reference_cpt
+        from kmc_tpu.parallel.ensemble import broadcast_ensemble
 
+        anchor = load_reference_cpt(args.init_cpt, cfg)
+        print(f"# anchor continuation from {args.init_cpt} at step "
+              f"{int(anchor.step)}", file=sys.stderr, flush=True)
+        state = broadcast_ensemble(anchor, args.replicas, seed=args.seed)
+    else:
+        state = init_ensemble(cfg, args.replicas, seed=args.seed)
+
+    writer = None
+    if getattr(args, "write_outputs", None):
+        from kmc_tpu.io.writers import EnsembleOutputSet
+
+        writer = EnsembleOutputSet(args.write_outputs, cfg)
+
+    t_wall0 = time.perf_counter()
     kin = {c: [] for c in KIN_COLS}
     hists = []
     for k in range(n_out):
@@ -162,13 +186,19 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
             kin[c].append(np.asarray(getattr(obs, c)))
         if hist is not None:
             hists.append(np.asarray(hist))
+        if writer is not None:
+            writer(state, obs)
         if (k + 1) % 10 == 0:
-            print(f"# ensemble output {k + 1}/{n_out}", file=sys.stderr,
+            rate = (k + 1) * cfg.out_every / (time.perf_counter() - t_wall0)
+            print(f"# ensemble output {k + 1}/{n_out} "
+                  f"({rate:,.0f} steps/s horizon rate)", file=sys.stderr,
                   flush=True)
             if on_progress is not None:
                 on_progress(k + 1, {c: np.stack(v) for c, v in kin.items()},
                             np.stack(hists) if hists else None)
     jax.block_until_ready(state)
+    if writer is not None:
+        writer.close()
     kin = {c: np.stack(v) for c, v in kin.items()}
     return kin, (np.stack(hists) if hists else None)
 
@@ -269,6 +299,24 @@ def cmd_kinetics(args):
     for p, r in zip(paths, refs):
         if r.size == 0:
             sys.exit(f"reference bond.dat is empty: {p}")
+
+    skip = 0
+    anchor_t = None
+    if getattr(args, "init_cpt", None):
+        # anchor continuation: the cpt's final token is the saved step
+        # (main.cpp:2243); our ensemble resumes there, so only oracle rows
+        # AFTER the anchor time are comparable
+        anchor_step = int(open(args.init_cpt).read().split()[-1])
+        from kmc_tpu.config import SimConfig as _SC
+
+        anchor_t = anchor_step * _SC().time_step
+        skip = int(np.sum(refs[0][:, 0] <= anchor_t + 1e-6))
+        for r in refs[1:]:
+            assert int(np.sum(r[:, 0] <= anchor_t + 1e-6)) == skip, \
+                "oracle runs disagree on anchor row (different cadences?)"
+        print(f"# anchor t={anchor_t:.0f} ns -> skipping {skip} oracle rows",
+              file=sys.stderr, flush=True)
+        refs = [r[skip:] for r in refs]
     if args.max_rows:
         refs = [r[: args.max_rows] for r in refs]
     n_out = min(len(r) for r in refs)
@@ -282,10 +330,13 @@ def cmd_kinetics(args):
     ref_hists = []
     for p in cpaths:
         _, h = read_cluster_log(p, MAX_HIST_SIZE)
-        ref_hists.append(h[: n_out])
+        ref_hists.append(h[skip: skip + n_out])
 
     def build_report(kin, hist_ens, k_avail):
         report = {"ref_runs": paths, "kinetics_runs": [], "n_out": k_avail}
+        if anchor_t is not None:
+            report["anchor"] = {"cpt": args.init_cpt, "t_ns": anchor_t,
+                                "skipped_rows": skip}
         ok = True
         for r in refs:
             rep = _kinetics_report(kin, r[:k_avail], args)
@@ -403,6 +454,14 @@ def main():
                    help="'lazy' runs the event-driven alignment ensemble "
                         "(bench.py's default mode) — validates the lazy "
                         "approximation at ship scale")
+    k.add_argument("--init-cpt", default=None,
+                   help="start every replica from this REFERENCE "
+                        "position.cpt (anchor continuation) and compare "
+                        "only oracle rows after the anchor time")
+    k.add_argument("--write-outputs", default=None,
+                   help="write replica 0's full reference-compatible "
+                        "output file set + ensemble series to this dir "
+                        "while validating")
     k.add_argument("--out", default=None, help="also write the report here")
     m = sub.add_parser("msd")
     m.add_argument("--ref-gro", required=True)
