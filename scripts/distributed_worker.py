@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--replicas-per-host", type=int, default=4)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bench-repeats", type=int, default=0,
+                    help="after the warmup chunk, time this many more "
+                         "chunks and report global replica-steps/s "
+                         "(VERDICT r3 #7: the localhost 2-process "
+                         "throughput point)")
     args = ap.parse_args()
 
     # join the runtime BEFORE importing kmc_tpu: module-level jnp constants
@@ -52,6 +57,24 @@ def main():
     chunk = make_ensemble_chunk(cfg, args.steps, donate=True)
     state, obs = chunk(state)
 
+    bench = None
+    if args.bench_repeats:
+        import time
+
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(args.bench_repeats):
+            state, obs = chunk(state)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
+        glob = args.replicas_per_host * args.nproc
+        bench = {
+            "nproc": args.nproc,
+            "replicas_global": glob,
+            "steps_timed": args.bench_repeats * args.steps,
+            "replica_steps_per_s": glob * args.bench_repeats * args.steps / dt,
+        }
+
     # fully-replicated reductions are addressable on every process
     import jax.numpy as jnp
 
@@ -64,6 +87,8 @@ def main():
     )(state, obs)
     stats = {k: float(v) for k, v in stats.items()}
     stats["replicas_global"] = args.replicas_per_host * args.nproc
+    if bench is not None:
+        stats["bench"] = bench
 
     if jax.process_index() == 0:
         with open(args.out, "w") as f:
