@@ -9,5 +9,6 @@ exec python scripts/validate_vs_reference.py kinetics \
   --ref-cluster /tmp/valsnap/g1_cluster.log /tmp/valsnap/g2_cluster.log \
   --replicas 256 --align-mode lazy --sub-chunks 4 --seed 0 \
   --max-rows 380 \
+  --state-file /tmp/val_r04_state.npz --resume-state \
   --write-outputs out/flagship_r04 \
   --out VALIDATION_r04.json

@@ -169,16 +169,67 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
     else:
         state = init_ensemble(cfg, args.replicas, seed=args.seed)
 
+    # ---- stall insurance: the TPU tunnel worker can restart mid-run and
+    # leave the client hung forever (observed r4); persist (state, series)
+    # every output so a kill+restart resumes at the last completed output
+    # instead of recomputing hours of horizon ----
+    sf = getattr(args, "state_file", None)
+    k0 = 0
+    kin = {c: [] for c in KIN_COLS}
+    hists = []
+    if sf and os.path.exists(sf) and getattr(args, "resume_state", False):
+        import jax.numpy as jnp
+
+        z = np.load(sf)
+        k0 = int(z["k_done"])
+        leaves = [jnp.asarray(z[f"leaf{i}"]) for i in range(int(z["n_leaf"]))]
+        import jax as _jax
+
+        treedef = _jax.tree.structure(state)
+        # key leaf was saved as raw key data; rewrap
+        flat0 = _jax.tree.leaves(state)
+        leaves = [
+            _jax.random.wrap_key_data(l) if _jax.dtypes.issubdtype(
+                f0.dtype, _jax.dtypes.prng_key) else l
+            for l, f0 in zip(leaves, flat0)
+        ]
+        state = _jax.tree.unflatten(treedef, leaves)
+        for ci, c in enumerate(KIN_COLS):
+            kin[c] = list(z["kin"][:, ci])
+        if z["hists"].ndim == 3:
+            hists = list(z["hists"])
+        print(f"# resumed at output {k0}/{n_out} from {sf}",
+              file=sys.stderr, flush=True)
+
+    def save_state(k_done, st):
+        if not sf:
+            return
+        import jax as _jax
+
+        leaves = _jax.tree.leaves(st)
+        arrs = {}
+        for i, l in enumerate(leaves):
+            if _jax.dtypes.issubdtype(l.dtype, _jax.dtypes.prng_key):
+                l = _jax.random.key_data(l)
+            arrs[f"leaf{i}"] = np.asarray(l)
+        arrs["n_leaf"] = np.asarray(len(leaves))
+        arrs["k_done"] = np.asarray(k_done)
+        arrs["kin"] = np.stack([np.stack(kin[c], 0) for c in KIN_COLS], 1) \
+            if kin[KIN_COLS[0]] else np.zeros((0, 4, 0))
+        arrs["hists"] = np.stack(hists) if hists else np.zeros((0,))
+        tmp = sf + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrs)
+        os.replace(tmp, sf)
+
     writer = None
     if getattr(args, "write_outputs", None):
         from kmc_tpu.io.writers import EnsembleOutputSet
 
-        writer = EnsembleOutputSet(args.write_outputs, cfg)
+        writer = EnsembleOutputSet(args.write_outputs, cfg, fresh=(k0 == 0))
 
     t_wall0 = time.perf_counter()
-    kin = {c: [] for c in KIN_COLS}
-    hists = []
-    for k in range(n_out):
+    for k in range(k0, n_out):
         for _ in range(sub):
             state, out = chunk(state)
         obs, hist = out if with_hist else (out, None)
@@ -188,8 +239,10 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
             hists.append(np.asarray(hist))
         if writer is not None:
             writer(state, obs)
+        save_state(k + 1, state)
         if (k + 1) % 10 == 0:
-            rate = (k + 1) * cfg.out_every / (time.perf_counter() - t_wall0)
+            rate = ((k + 1 - k0) * cfg.out_every
+                    / (time.perf_counter() - t_wall0))
             print(f"# ensemble output {k + 1}/{n_out} "
                   f"({rate:,.0f} steps/s horizon rate)", file=sys.stderr,
                   flush=True)
@@ -462,6 +515,11 @@ def main():
                    help="write replica 0's full reference-compatible "
                         "output file set + ensemble series to this dir "
                         "while validating")
+    k.add_argument("--state-file", default=None,
+                   help="persist (ensemble state, series) here every "
+                        "output — stall insurance for the TPU tunnel")
+    k.add_argument("--resume-state", action="store_true",
+                   help="resume from --state-file if it exists")
     k.add_argument("--out", default=None, help="also write the report here")
     m = sub.add_parser("msd")
     m.add_argument("--ref-gro", required=True)
