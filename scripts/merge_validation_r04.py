@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Assemble VALIDATION_r04_final.json — the round's single correctness
+artifact (VERDICT r3 #1): from-scratch kinetics + cluster-size
+distributions vs two independent oracles, the late-horizon anchor
+continuation, and the MSD comparison, with one overall ok flag."""
+import json
+import sys
+
+out = {}
+ok = True
+for key, path, required in [
+    ("from_scratch", "VALIDATION_r04.json", True),
+    ("late_continuation", "VALIDATION_r04_late.json", False),
+    ("msd", "VALIDATION_r04_msd.json", False),
+]:
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        out[key] = d
+        ok &= bool(d.get("ok", False))
+    except FileNotFoundError:
+        if required:
+            sys.exit(f"missing required component: {path}")
+        out[key] = {"skipped": True}
+
+out["ok"] = bool(ok)
+out["note"] = (
+    "from_scratch: 256-replica shipped-mode (lazy) ensemble from t=0 vs "
+    "BOTH independently-seeded golden oracles (kinetics quantile bands + "
+    "cluster-size-distribution TV tests) over the first 380 oracle output "
+    "rows (1.9e6 steps = 19 ms simulated); replica 0's full reference-"
+    "compatible output file set is committed in out/flagship_r04/. "
+    "late_continuation: the same engine resumed from the oracle's OWN "
+    "position.cpt at output row 558 (2.79e6 steps, deep coarsening), "
+    "tested against the oracle's onward rows — covers the late-time "
+    "regime without re-simulating the gap. msd: diffusion-dynamics slope "
+    "comparison from the .gro trajectories."
+)
+with open("VALIDATION_r04_final.json", "w") as f:
+    f.write(json.dumps(out, indent=1) + "\n")
+print("ok =", ok)
