@@ -24,11 +24,12 @@ for key, path, required in [
         out[key] = {"skipped": True}
 
 out["ok"] = bool(ok)
+n_fs = out["from_scratch"].get("n_out", "?")
 out["note"] = (
-    "from_scratch: 256-replica shipped-mode (lazy) ensemble from t=0 vs "
-    "BOTH independently-seeded golden oracles (kinetics quantile bands + "
-    "cluster-size-distribution TV tests) over the first 380 oracle output "
-    "rows (1.9e6 steps = 19 ms simulated); replica 0's full reference-"
+    f"from_scratch: 256-replica shipped-mode (lazy) ensemble from t=0 vs "
+    f"BOTH independently-seeded golden oracles (kinetics quantile bands + "
+    f"cluster-size-distribution TV tests) over the first {n_fs} oracle "
+    f"output rows ({n_fs}x5000 steps); replica 0's full reference-"
     "compatible output file set is committed in out/flagship_r04/. "
     "late_continuation: the same engine resumed from the oracle's OWN "
     "position.cpt at output row 558 (2.79e6 steps, deep coarsening), "

@@ -8,7 +8,7 @@ exec python scripts/validate_vs_reference.py kinetics \
   --ref-bond /tmp/valsnap/g1_bond.dat /tmp/valsnap/g2_bond.dat \
   --ref-cluster /tmp/valsnap/g1_cluster.log /tmp/valsnap/g2_cluster.log \
   --replicas 256 --align-mode lazy --sub-chunks 4 --seed 0 \
-  --max-rows 380 \
+  --max-rows 440 \
   --state-file /tmp/val_r04_state.npz --resume-state \
   --write-outputs out/flagship_r04 \
   --out VALIDATION_r04.json
