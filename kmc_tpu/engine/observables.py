@@ -84,6 +84,20 @@ def cluster_histogram(info: ClusterInfo, cfg: SimConfig):
     return jnp.bincount(sizes, length=MAX_HIST_SIZE + 1).at[0].set(0)
 
 
+def seeded_receptor_histogram(info: ClusterInfo, cfg: SimConfig):
+    """Histogram over the number of RECEPTORS in each ligand-seeded cluster,
+    i32[MAX_HIST_SIZE + 1]: slot r = number of ligand-seeded clusters with r
+    receptor members (r >= MAX_HIST_SIZE binned into the last slot; slot 0 =
+    free ligands / pure-ligand clusters).  Directly comparable to the
+    reference cluster.log (main.cpp:2291-2305): each nonempty row lists the
+    member ids of one ligand-seeded BFS cluster, so its receptor count is
+    the number of tokens <= protein_A_tot_num — the statistic the validator
+    parses for the receptor monomer/dimer/trimer-fraction comparison."""
+    seeded = info.is_root & (info.n_b > 0)
+    idx = jnp.where(seeded, jnp.clip(info.n_a, 0, MAX_HIST_SIZE) + 1, 0)
+    return jnp.bincount(idx, length=MAX_HIST_SIZE + 2)[1:]
+
+
 def receptor_oligomer_histogram(info: ClusterInfo, cfg: SimConfig):
     """Histogram over the number of RECEPTORS per cluster (any cluster with
     >= 1 receptor, including free receptors as size 1) — the receptor

@@ -190,7 +190,9 @@ class OutputSet:
         if fresh:
             for f in (self.bond, self.gro, self.cluster, self.hist):
                 open(f, "w").close()
-        write_parameter_log(os.path.join(out_dir, "parameter.log"), cfg)
+            # only on a fresh run: a resumed run would otherwise append a
+            # duplicate header block every resume (observed r4 flagship)
+            write_parameter_log(os.path.join(out_dir, "parameter.log"), cfg)
 
         self._gro_writer = None
         if use_native is not False:

@@ -6,15 +6,22 @@ stage 8: the reference is the golden oracle, compared seeds-in-distribution
 Modes:
   kinetics  — compare a reference bond.dat against the predictive band of a
               vmapped replica ensemble run at identical parameters: for
-              each output time and column, the reference value must fall
-              inside the ensemble's [lo, hi] quantile band (a single
-              trajectory against its own distribution).
+              each output time and EVERY one of the 7 bond.dat columns
+              (main.cpp:2251 — time, bond_rl, bond_mono_cis, bond_cis,
+              bond_num, cluster_size, protein_num_in_Max_Complex), the
+              reference value must fall inside the ensemble's [lo, hi]
+              quantile band (a single trajectory against its own
+              distribution).
   clusters  — cluster-size-distribution comparison: parse the reference
               cluster.log frames (main.cpp:2291-2305 — one line per
               ligand-seeded BFS row, token count = cluster size), histogram
               them, and compare each frame's histogram against the ensemble's
               per-replica cluster_histogram band, plus a distribution-level
-              total-variation check on the time-averaged tail.
+              total-variation check on the time-averaged tail.  The same
+              frames also yield the RECEPTOR count per seeded cluster
+              (tokens <= protein_A_tot_num), band-compared against
+              observables.seeded_receptor_histogram — the receptor
+              monomer/dimer/trimer-fraction statistic.
   msd       — mean-squared-displacement curves extracted from test.gro
               trajectories (ours vs reference), compared to each other and
               to the analytic per-step displacement second moment
@@ -38,6 +45,15 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_config():
+    """The single SimConfig used by BOTH the ensemble run and every derived
+    quantity (anchor times, writer truncation geometry) — one construction
+    site so they cannot silently diverge (ADVICE r4)."""
+    from kmc_tpu.config import SimConfig
+
+    return SimConfig()
 
 
 def read_bond_dat(path):
@@ -105,6 +121,34 @@ def read_cluster_log(path, max_size):
     return np.asarray(times), np.asarray(hists)
 
 
+def read_cluster_log_receptors(path, n_a, max_size):
+    """Parse a reference cluster.log into per-frame histograms of RECEPTOR
+    counts per ligand-seeded cluster: tokens are 1-based member protein ids
+    (main.cpp:2291-2305), so a row's receptor count = #tokens <= n_a.
+    Returns (times, hist[frames, max_size+1]); slot r = clusters with r
+    receptors (r >= max_size binned; slot 0 = pure-ligand clusters) — the
+    exact statistic of observables.seeded_receptor_histogram."""
+    times, hists = [], []
+    cur = None
+    with open(path) as f:
+        for line in f:
+            if line.startswith("Hello Cluster!"):
+                if cur is not None:
+                    hists.append(cur)
+                times.append(float(line.split("t=")[1]))
+                cur = np.zeros(max_size + 1, dtype=np.int64)
+                continue
+            if cur is None:
+                continue
+            toks = line.split()
+            if toks:
+                n_rec = sum(1 for t in toks if int(t) <= n_a)
+                cur[min(n_rec, max_size)] += 1
+    if cur is not None:
+        hists.append(cur)
+    return np.asarray(times), np.asarray(hists)
+
+
 def unwrap(traj, box_xy):
     """Undo periodic jumps frame-to-frame (valid when per-frame motion << box)."""
     d = np.diff(traj, axis=0)
@@ -119,28 +163,67 @@ def msd_curve(times, frames, box_xy):
     return times - times[0], np.mean(np.sum(disp**2, axis=-1), axis=1)
 
 
-KIN_COLS = ["bond_rl", "bond_mono_cis", "bond_cis", "bond_num"]
+# All 7 bond.dat columns (main.cpp:2251).  max_complex is the running max
+# over ligand-seeded cluster sizes (main.cpp:896-898) — far more
+# autocorrelated than the counters, hence its longer decorrelation lag in
+# the binomial-tail acceptance below.
+KIN_COLS = ["bond_rl", "bond_mono_cis", "bond_cis", "bond_num",
+            "cluster_size", "max_complex"]
+KIN_LAGS = {"bond_rl": 5, "bond_mono_cis": 5, "bond_cis": 5, "bond_num": 5,
+            "cluster_size": 5, "max_complex": 20}
+
+
+def truncate_outputs(out_dir, cfg, rows):
+    """Trim a (possibly over-written) flagship output directory to exactly
+    ``rows`` output intervals — closes the resume race where the writer
+    appends output k+1 before save_state persists k (ADVICE r4): on resume
+    we truncate to the state file's row count and re-emit deterministically.
+    """
+    def keep_lines(path, n):
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            lines = f.readlines()
+        if len(lines) > n:
+            with open(path, "w") as f:
+                f.writelines(lines[:n])
+
+    keep_lines(os.path.join(out_dir, "bond.dat"), rows)
+    keep_lines(os.path.join(out_dir, "hist.dat"), rows)
+    # bond_ens.dat: header + one row per output
+    keep_lines(os.path.join(out_dir, "bond_ens.dat"), rows + 1)
+    # test.gro frames: header, natom count, natoms lines, box line
+    natoms = cfg.n_a * 4 + cfg.n_b * 3
+    keep_lines(os.path.join(out_dir, "test.gro"), rows * (natoms + 3))
+    # cluster.log frames: header + one line per ligand
+    keep_lines(os.path.join(out_dir, "cluster.log"), rows * (cfg.n_b + 1))
 
 
 def _run_ensemble(args, n_out, with_hist, on_progress=None):
     """Advance an ensemble n_out output intervals; returns
-    (kin[col] -> [n_out, replicas], hist[n_out, replicas, S+1] or None).
-    ``on_progress(k, kin_partial, hists_partial)`` fires every 10 outputs —
-    used to write partial reports so a timeout still leaves evidence.
+    (kin[col] -> [n_out, replicas], hist[n_out, reps, S+1] or None,
+    ahist[n_out, reps, S+1] or None).
+    ``on_progress(k, kin_partial, hists_partial, ahists_partial)`` fires
+    every 10 outputs — used to write partial reports so a timeout still
+    leaves evidence.
 
     With ``args.init_cpt`` the ensemble starts from a REFERENCE
     position.cpt broadcast to all replicas (anchor continuation); with
     ``args.write_outputs`` replica 0's full reference-compatible output
     file set (bond.dat / test.gro / cluster.log / position.cpt + ensemble
     series) is written as the run progresses — the engine producing the
-    reference's complete deliverable while it is being validated."""
+    reference's complete deliverable while it is being validated.
+
+    Resume migration: state files written before round 5 stored only 4
+    kinetics columns and no receptor histograms; those rows are padded with
+    NaN on load and masked out of the band tests (the new statistics then
+    cover rows k0.. only, reported as n_valid)."""
     import jax
 
-    from kmc_tpu.config import SimConfig
     from kmc_tpu.parallel.ensemble import (
         init_ensemble, make_ensemble_chunk, make_ensemble_chunk_hist)
 
-    cfg = SimConfig()
+    cfg = run_config()
     lazy = getattr(args, "align_mode", "eager") == "lazy"
     if lazy:
         from kmc_tpu.parallel.ensemble import (
@@ -177,6 +260,9 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
     k0 = 0
     kin = {c: [] for c in KIN_COLS}
     hists = []
+    ahists = []
+    reps = args.replicas
+    S = None
     if sf and os.path.exists(sf) and getattr(args, "resume_state", False):
         import jax.numpy as jnp
 
@@ -194,12 +280,29 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
             for l, f0 in zip(leaves, flat0)
         ]
         state = _jax.tree.unflatten(treedef, leaves)
+        zk = z["kin"]                              # [k0, n_saved_cols, reps]
+        n_saved = zk.shape[1] if zk.ndim == 3 else 0
         for ci, c in enumerate(KIN_COLS):
-            kin[c] = list(z["kin"][:, ci])
+            if ci < n_saved:
+                kin[c] = list(zk[:, ci].astype(np.float64))
+            else:                                  # pre-r5 file: 4 columns
+                kin[c] = [np.full((reps,), np.nan)] * k0
         if z["hists"].ndim == 3:
-            hists = list(z["hists"])
-        print(f"# resumed at output {k0}/{n_out} from {sf}",
-              file=sys.stderr, flush=True)
+            hists = list(z["hists"].astype(np.float64))
+            S = z["hists"].shape[2]
+        elif with_hist and k0 > 0:
+            # resuming a kinetics-only state into a with-hist run: pad the
+            # already-run rows so hist row i always means output i
+            from kmc_tpu.engine.observables import MAX_HIST_SIZE
+
+            S = MAX_HIST_SIZE + 1
+            hists = [np.full((reps, S), np.nan)] * k0
+        if "ahists" in z and z["ahists"].ndim == 3:
+            ahists = list(z["ahists"].astype(np.float64))
+        elif S is not None:
+            ahists = [np.full((reps, S), np.nan)] * k0
+        print(f"# resumed at output {k0}/{n_out} from {sf} "
+              f"({n_saved} saved kin cols)", file=sys.stderr, flush=True)
 
     def save_state(k_done, st):
         if not sf:
@@ -214,9 +317,11 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
             arrs[f"leaf{i}"] = np.asarray(l)
         arrs["n_leaf"] = np.asarray(len(leaves))
         arrs["k_done"] = np.asarray(k_done)
-        arrs["kin"] = np.stack([np.stack(kin[c], 0) for c in KIN_COLS], 1) \
-            if kin[KIN_COLS[0]] else np.zeros((0, 4, 0))
+        arrs["kin"] = np.stack(
+            [np.stack(kin[c], 0).astype(np.float64) for c in KIN_COLS], 1) \
+            if kin[KIN_COLS[0]] else np.zeros((0, len(KIN_COLS), 0))
         arrs["hists"] = np.stack(hists) if hists else np.zeros((0,))
+        arrs["ahists"] = np.stack(ahists) if ahists else np.zeros((0,))
         tmp = sf + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f, **arrs)
@@ -226,17 +331,28 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
     if getattr(args, "write_outputs", None):
         from kmc_tpu.io.writers import EnsembleOutputSet
 
+        if k0 > 0:
+            # close the writer/save_state resume race (ADVICE r4): trim any
+            # output rows past the persisted k_done before re-emitting them
+            truncate_outputs(args.write_outputs, cfg, k0)
         writer = EnsembleOutputSet(args.write_outputs, cfg, fresh=(k0 == 0))
+
+    def stack_kin():
+        return {c: np.stack(v).astype(np.float64) for c, v in kin.items()}
 
     t_wall0 = time.perf_counter()
     for k in range(k0, n_out):
         for _ in range(sub):
             state, out = chunk(state)
-        obs, hist = out if with_hist else (out, None)
+        if with_hist:
+            obs, hist, ahist = out
+        else:
+            obs, hist, ahist = out, None, None
         for c in KIN_COLS:
-            kin[c].append(np.asarray(getattr(obs, c)))
+            kin[c].append(np.asarray(getattr(obs, c)).astype(np.float64))
         if hist is not None:
-            hists.append(np.asarray(hist))
+            hists.append(np.asarray(hist).astype(np.float64))
+            ahists.append(np.asarray(ahist).astype(np.float64))
         if writer is not None:
             writer(state, obs)
         save_state(k + 1, state)
@@ -247,21 +363,24 @@ def _run_ensemble(args, n_out, with_hist, on_progress=None):
                   f"({rate:,.0f} steps/s horizon rate)", file=sys.stderr,
                   flush=True)
             if on_progress is not None:
-                on_progress(k + 1, {c: np.stack(v) for c, v in kin.items()},
-                            np.stack(hists) if hists else None)
+                on_progress(k + 1, stack_kin(),
+                            np.stack(hists) if hists else None,
+                            np.stack(ahists) if ahists else None)
     jax.block_until_ready(state)
     if writer is not None:
         writer.close()
-    kin = {c: np.stack(v) for c, v in kin.items()}
-    return kin, (np.stack(hists) if hists else None)
+    return (stack_kin(), np.stack(hists) if hists else None,
+            np.stack(ahists) if ahists else None)
 
 
 def _kinetics_report(kin, ref, args):
     """Per-column quantile-band coverage of the single reference trajectory
     within the ensemble's predictive band, with a binomial-tail acceptance
     threshold instead of a flat cutoff: with nominal band mass (2q-1), the
-    observed inside-fraction over n_out (autocorrelated, so conservative
-    effective n = n_out/5) must not be improbably low (p > 1e-3)."""
+    observed inside-fraction over the valid rows (autocorrelated, so
+    conservative effective n = n_valid/lag, lag per KIN_LAGS) must not be
+    improbably low (p > 1e-3).  Rows padded with NaN (columns added in r5
+    resuming an r4 state file) are excluded and reported as n_valid."""
     from math import comb
 
     q = args.quantile
@@ -270,23 +389,30 @@ def _kinetics_report(kin, ref, args):
               "columns": {}}
     ok_all = True
     for ci, c in enumerate(KIN_COLS):
-        samples = kin[c][:n_out]                     # [n_out, replicas]
-        refv = ref[:n_out, 1 + ci]
-        lo = np.quantile(samples, 1 - q, axis=1)
-        hi = np.quantile(samples, q, axis=1)
-        inside = (refv >= lo - 1e-9) & (refv <= hi + 1e-9)
+        samples = np.asarray(kin[c][:n_out], dtype=np.float64)
+        refv = ref[:n_out, 1 + ci]                   # [n_out, replicas]
+        valid = ~np.isnan(samples[:, 0])
+        n_valid = int(valid.sum())
+        if n_valid == 0:
+            report["columns"][c] = {"n_valid": 0, "ok": None}
+            continue
+        s_v, r_v = samples[valid], refv[valid]
+        lo = np.quantile(s_v, 1 - q, axis=1)
+        hi = np.quantile(s_v, q, axis=1)
+        inside = (r_v >= lo - 1e-9) & (r_v <= hi + 1e-9)
         frac = float(np.mean(inside))
-        # binomial lower tail at effective sample size (lag-5 decorrelation)
-        n_eff = max(n_out // 5, 1)
+        # binomial lower tail at effective sample size (lag decorrelation)
+        n_eff = max(n_valid // KIN_LAGS[c], 1)
         k_eff = int(round(frac * n_eff))
         p_nom = 2 * q - 1
         p_tail = sum(comb(n_eff, k) * p_nom**k * (1 - p_nom) ** (n_eff - k)
                      for k in range(k_eff + 1))
-        mean_err = float(np.mean(np.abs(refv - samples.mean(1))))
-        signed_err = float(np.mean(refv - samples.mean(1)))
+        mean_err = float(np.mean(np.abs(r_v - s_v.mean(1))))
+        signed_err = float(np.mean(r_v - s_v.mean(1)))
         ok = frac >= args.min_coverage and p_tail > 1e-3
         ok_all &= ok
         report["columns"][c] = {
+            "n_valid": n_valid,
             "coverage": frac,
             "binomial_tail_p": float(p_tail),
             "mean_abs_err_vs_ensemble_mean": mean_err,
@@ -298,16 +424,23 @@ def _kinetics_report(kin, ref, args):
 
 
 def _clusters_report(hist_ens, ref_hists, args):
-    """Cluster-size-distribution comparison (the BASELINE north-star target):
+    """Cluster-histogram comparison (used for BOTH the ligand-seeded
+    cluster-size histogram and the receptor-count-per-cluster histogram):
     (a) per-(time, size-bin) quantile-band coverage of the reference
     histogram counts, and (b) a distribution-level check — total-variation
     distance between the reference's tail-time-averaged size distribution
     and the ensemble mean distribution must not exceed the 99th percentile
     of the replicas' own TV distances from that mean (i.e. the reference
-    must look like one more replica)."""
+    must look like one more replica).  NaN ensemble frames (rows predating
+    the statistic in a resumed state file) are masked."""
     n_out = min(len(ref_hists), len(hist_ens))
     ens = hist_ens[:n_out].astype(np.float64)        # [n_out, reps, S+1]
     ref = ref_hists[:n_out].astype(np.float64)
+    valid = ~np.isnan(ens[:, 0, 0])
+    n_valid = int(valid.sum())
+    if n_valid == 0:
+        return {"n_out": n_out, "n_valid": 0, "ok": None}
+    ens, ref = ens[valid], ref[valid]
 
     q = args.quantile
     lo = np.quantile(ens, 1 - q, axis=1)
@@ -315,7 +448,7 @@ def _clusters_report(hist_ens, ref_hists, args):
     inside = (ref >= lo - 1e-9) & (ref <= hi + 1e-9)
     coverage = float(np.mean(inside))
 
-    tail = slice(n_out // 2, n_out)                  # steady-state half
+    tail = slice(n_valid // 2, n_valid)              # steady-state half
     def tv(p, m):
         return 0.5 * np.sum(np.abs(p - m), axis=-1)
 
@@ -333,6 +466,7 @@ def _clusters_report(hist_ens, ref_hists, args):
     ok = coverage >= args.min_coverage and ref_tv <= max(tv_thresh, 1e-6)
     return {
         "n_out": n_out,
+        "n_valid": n_valid,
         "bin_coverage": coverage,
         "ref_tv_vs_ensemble_mean": ref_tv,
         "replica_tv_p99": tv_thresh,
@@ -343,9 +477,13 @@ def _clusters_report(hist_ens, ref_hists, args):
 
 
 def cmd_kinetics(args):
-    """Kinetics (+ optional clusters) validation against one or MORE
-    independent reference trajectories (each wall-clock-seeded run is its
-    own realization; every one must sit inside the ensemble band)."""
+    """Kinetics (+ optional clusters + receptor-oligomer) validation against
+    one or MORE independent reference trajectories (each wall-clock-seeded
+    run is its own realization; every one must sit inside the ensemble
+    band).  Reference files are re-read at report time, and each oracle is
+    compared over ITS OWN available depth (they accumulate at different
+    rates), so a long ensemble run validates every oracle row available by
+    the time it finishes."""
     paths = args.ref_bond if isinstance(args.ref_bond, list) else \
         [args.ref_bond]
     refs = [read_bond_dat(p) for p in paths]
@@ -353,6 +491,9 @@ def cmd_kinetics(args):
         if r.size == 0:
             sys.exit(f"reference bond.dat is empty: {p}")
 
+    from kmc_tpu.engine.observables import MAX_HIST_SIZE
+
+    cfg = run_config()
     skip = 0
     anchor_t = None
     if getattr(args, "init_cpt", None):
@@ -360,63 +501,96 @@ def cmd_kinetics(args):
         # (main.cpp:2243); our ensemble resumes there, so only oracle rows
         # AFTER the anchor time are comparable
         anchor_step = int(open(args.init_cpt).read().split()[-1])
-        from kmc_tpu.config import SimConfig as _SC
-
-        anchor_t = anchor_step * _SC().time_step
+        anchor_t = anchor_step * cfg.time_step
         skip = int(np.sum(refs[0][:, 0] <= anchor_t + 1e-6))
         for r in refs[1:]:
             assert int(np.sum(r[:, 0] <= anchor_t + 1e-6)) == skip, \
                 "oracle runs disagree on anchor row (different cadences?)"
         print(f"# anchor t={anchor_t:.0f} ns -> skipping {skip} oracle rows",
               file=sys.stderr, flush=True)
-        refs = [r[skip:] for r in refs]
-    if args.max_rows:
-        refs = [r[: args.max_rows] for r in refs]
-    n_out = min(len(r) for r in refs)
-    refs = [r[:n_out] for r in refs]
 
-    from kmc_tpu.engine.observables import MAX_HIST_SIZE
+    # size the run by the DEEPEST oracle (per-oracle comparisons below use
+    # each oracle's own depth)
+    n_out = max(len(r) - skip for r in refs)
+    if args.max_rows:
+        n_out = min(n_out, args.max_rows)
 
     cpaths = args.ref_cluster or []
     if isinstance(cpaths, str):
         cpaths = [cpaths]
-    ref_hists = []
-    for p in cpaths:
-        _, h = read_cluster_log(p, MAX_HIST_SIZE)
-        ref_hists.append(h[skip: skip + n_out])
 
-    def build_report(kin, hist_ens, k_avail):
+    def build_report(kin, hist_ens, ahist_ens, k_avail):
+        # re-read the oracles: they may have accumulated rows while the
+        # ensemble was running
+        refs_now = [read_bond_dat(p)[skip:] for p in paths]
         report = {"ref_runs": paths, "kinetics_runs": [], "n_out": k_avail}
         if anchor_t is not None:
             report["anchor"] = {"cpt": args.init_cpt, "t_ns": anchor_t,
                                 "skipped_rows": skip}
         ok = True
-        for r in refs:
-            rep = _kinetics_report(kin, r[:k_avail], args)
+        for r in refs_now:
+            n_r = min(len(r), k_avail)
+            rep = _kinetics_report(
+                {c: v[:n_r] for c, v in kin.items()}, r[:n_r], args)
             report["kinetics_runs"].append(rep)
             ok &= rep["ok"]
-        if ref_hists and hist_ens is not None:
+        if cpaths and hist_ens is not None:
             report["clusters_runs"] = []
-            for h in ref_hists:
-                rep = _clusters_report(hist_ens, h[:k_avail], args)
+            report["receptor_oligomer_runs"] = []
+            for p in cpaths:
+                _, h = read_cluster_log(p, MAX_HIST_SIZE)
+                rep = _clusters_report(hist_ens[:k_avail],
+                                       h[skip: skip + k_avail], args)
                 report["clusters_runs"].append(rep)
-                ok &= rep["ok"]
+                ok &= rep["ok"] if rep["ok"] is not None else True
+                if ahist_ens is not None:
+                    _, ha = read_cluster_log_receptors(p, cfg.n_a,
+                                                       MAX_HIST_SIZE)
+                    rep = _clusters_report(ahist_ens[:k_avail],
+                                           ha[skip: skip + k_avail], args)
+                    report["receptor_oligomer_runs"].append(rep)
+                    ok &= rep["ok"] if rep["ok"] is not None else True
         report["ok"] = bool(ok)
         return report
 
-    def on_progress(k, kin_p, hists_p):
-        if not args.out:
-            return
-        rep = build_report(kin_p, hists_p, k)
-        rep["partial"] = True
-        tmp = args.out + ".partial.tmp"
-        with open(tmp, "w") as f:
-            f.write(json.dumps(rep, indent=1) + "\n")
-        os.replace(tmp, args.out + ".partial")
+    if getattr(args, "report_only", False):
+        # assemble the report purely from the persisted state file — used to
+        # mint a final report when the run is stopped before n_out
+        z = np.load(args.state_file)
+        k_done = int(z["k_done"])
+        zk = z["kin"]
+        reps = zk.shape[2]
+        kin = {}
+        for ci, c in enumerate(KIN_COLS):
+            if ci < zk.shape[1]:
+                kin[c] = zk[:, ci].astype(np.float64)
+            else:
+                kin[c] = np.full((k_done, reps), np.nan)
+        hist_ens = z["hists"] if z["hists"].ndim == 3 else None
+        if "ahists" in z and z["ahists"].ndim == 3:
+            ahist_ens = z["ahists"]
+            if len(ahist_ens) < k_done and hist_ens is not None:
+                pad = np.full((k_done - len(ahist_ens), reps,
+                               hist_ens.shape[2]), np.nan)
+                ahist_ens = np.concatenate([pad, ahist_ens])
+        else:
+            ahist_ens = None
+        report = build_report(kin, hist_ens, ahist_ens, k_done)
+        report["report_only_at_rows"] = k_done
+    else:
+        def on_progress(k, kin_p, hists_p, ahists_p):
+            if not args.out:
+                return
+            rep = build_report(kin_p, hists_p, ahists_p, k)
+            rep["partial"] = True
+            tmp = args.out + ".partial.tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(rep, indent=1) + "\n")
+            os.replace(tmp, args.out + ".partial")
 
-    kin, hist_ens = _run_ensemble(args, n_out, with_hist=bool(ref_hists),
-                                  on_progress=on_progress)
-    report = build_report(kin, hist_ens, n_out)
+        kin, hist_ens, ahist_ens = _run_ensemble(
+            args, n_out, with_hist=bool(cpaths), on_progress=on_progress)
+        report = build_report(kin, hist_ens, ahist_ens, n_out)
     ok = report["ok"]
     txt = json.dumps(report, indent=1)
     print(txt)
@@ -427,9 +601,7 @@ def cmd_kinetics(args):
 
 
 def cmd_msd(args):
-    from kmc_tpu.config import SimConfig
-
-    cfg = SimConfig()
+    cfg = run_config()
     box = (cfg.cell_range_x, cfg.cell_range_y)
     t_ref, ref_frames = read_gro_centers(args.ref_gro, cfg.n_a, cfg.n_b)
     if args.ref_t0 is not None or args.ref_t1 is not None:
@@ -492,7 +664,8 @@ def main():
                    help="one or more reference bond.dat trajectories")
     k.add_argument("--ref-cluster", default=None, nargs="*",
                    help="reference cluster.log(s); adds the cluster-size-"
-                        "distribution comparison to the same run")
+                        "distribution and receptor-oligomer comparisons to "
+                        "the same run")
     k.add_argument("--replicas", type=int, default=64)
     k.add_argument("--seed", type=int, default=0)
     k.add_argument("--quantile", type=float, default=0.995)
@@ -520,6 +693,9 @@ def main():
                         "output — stall insurance for the TPU tunnel")
     k.add_argument("--resume-state", action="store_true",
                    help="resume from --state-file if it exists")
+    k.add_argument("--report-only", action="store_true",
+                   help="build the report from --state-file without "
+                        "running (mint a final report mid-horizon)")
     k.add_argument("--out", default=None, help="also write the report here")
     m = sub.add_parser("msd")
     m.add_argument("--ref-gro", required=True)
