@@ -48,6 +48,12 @@ def reachability(state: SimState, cfg: SimConfig):
     """
     nbr = neighbors(state, cfg)                   # i32[n, 3], -1 padded
     n = cfg.n
+    # exactness guard (ADVICE r4): k squarings cover components of diameter
+    # 2^k; a config with n > 2^iters would silently mislabel large clusters
+    assert 2 ** cfg.label_closure_iters >= n, (
+        f"label_closure_iters={cfg.label_closure_iters} covers diameter "
+        f"{2 ** cfg.label_closure_iters} < n={n}; raise it to "
+        f">= ceil(log2(n))")
     idx = jnp.arange(n, dtype=jnp.int32)
     adj = jnp.any(nbr[:, :, None] == idx[None, None, :], axis=1)
     adj = adj | jnp.eye(n, dtype=bool)

@@ -164,23 +164,37 @@ def make_rf_step(cfg: LatticeConfig):
 
 
 def rf_batch_step(state: LatticeState, cfg: LatticeConfig,
-                  k_events: int = 64, exclusion: int = 3) -> LatticeState:
+                  k_events: int = 64, exclusion: int = 3,
+                  thinning: str = "parallel") -> LatticeState:
     """Apply up to ``k_events`` spatially separated events in ONE pass —
     the throughput form of rejection-free selection (VERDICT r2 #7: the
     serial rf_step does O(HW) work per single event).
 
     Selection: top-K Gumbel-max winners over the frozen rate tensor, then
-    a greedy thinning in score order keeps an event only if both its cells
-    are at Chebyshev distance >= ``exclusion`` (periodic) from every
-    higher-scored kept event's cells.  Rates depend on 4-neighborhoods, so
-    with exclusion >= 3 the kept events' rate neighborhoods are disjoint:
-    the K' kept events COMMUTE and each was selected from a rate field
+    a thinning that keeps an event only if both its cells are at Chebyshev
+    distance >= ``exclusion`` (periodic) from every higher-scored kept
+    candidate's cells.  Rates depend on 4-neighborhoods, so with
+    exclusion >= 3 the kept events' rate neighborhoods are disjoint: the
+    K' kept events COMMUTE and each was selected from a rate field
     unperturbed by the others — identical to applying them serially in
     score order.  The residual approximation vs serial BKL is temporal:
     all K' waiting times are drawn against the same frozen total rate
     (time += sum of K' Exp(1) draws / total_rate), i.e. rate-field drift
     WITHIN a batch is ignored.  Statistical equivalence to the serial form
     is asserted in tests/test_rejection_free.py::test_batched_equilibrium.
+
+    ``thinning`` picks the independent-set rule (VERDICT r4 #7):
+      "greedy"   — sequential in score order (keep i iff it conflicts with
+                   no KEPT j < i): keeps the most events per batch but runs
+                   a k_events-iteration fori_loop of scalar-sized ops — the
+                   dominant per-batch cost on TPU at k >= 64.
+      "parallel" — one-shot (keep i iff it conflicts with no CANDIDATE
+                   j < i, kept or not): a single vectorized mask.  Every
+                   kept event still conflicts with no higher-scored kept
+                   event (kept is a subset of candidates), so the
+                   commutation argument above holds unchanged; it merely
+                   thins more aggressively when candidates crowd, trading
+                   a few events/batch for removing the sequential loop.
 
     ``state.step`` counts BATCHES here (one hash-stream index per call);
     events applied per call = K' <= k_events.
@@ -221,13 +235,21 @@ def rf_batch_step(state: LatticeState, cfg: LatticeConfig,
     )
     conflict = dmin < exclusion                            # [K, K]
 
-    # greedy independent set in score order (top_k output is sorted)
-    def pick(i, keep):
-        ok = ~jnp.any(conflict[i] & keep & (jnp.arange(k_events) < i))
-        return keep.at[i].set(ok & live[i])
+    if thinning == "parallel":
+        # one-shot rule: drop i iff ANY higher-scored candidate conflicts
+        # (top_k output is score-sorted, so j < i means higher score)
+        ii = jnp.arange(k_events)
+        blocked = jnp.any(conflict & live[None, :]
+                          & (ii[None, :] < ii[:, None]), axis=1)
+        keep = live & ~blocked
+    else:
+        # greedy independent set in score order
+        def pick(i, keep):
+            ok = ~jnp.any(conflict[i] & keep & (jnp.arange(k_events) < i))
+            return keep.at[i].set(ok & live[i])
 
-    keep = jax.lax.fori_loop(0, k_events, pick,
-                             jnp.zeros((k_events,), bool))
+        keep = jax.lax.fori_loop(0, k_events, pick,
+                                 jnp.zeros((k_events,), bool))
 
     # per-event source/target values (same semantics as rf_step)
     k1 = state.grid[y, x]
@@ -273,7 +295,8 @@ def rf_batch_step(state: LatticeState, cfg: LatticeConfig,
 
 
 def make_rf_batch_chunk(cfg: LatticeConfig, n_batches: int,
-                        k_events: int = 64, exclusion: int = 3):
+                        k_events: int = 64, exclusion: int = 3,
+                        thinning: str = "parallel"):
     """Jitted ``n_batches``-batch advance; returns (state, dts) where
     ``dts[i]`` is batch i's accumulated waiting time (zero iff that batch
     applied no events).
@@ -288,7 +311,7 @@ def make_rf_batch_chunk(cfg: LatticeConfig, n_batches: int,
         state = state._replace(time=jnp.zeros_like(state.time))
 
         def inner(st, _):
-            st2 = rf_batch_step(st, cfg, k_events, exclusion)
+            st2 = rf_batch_step(st, cfg, k_events, exclusion, thinning)
             return st2, st2.time - st.time
 
         state, dts = jax.lax.scan(inner, state, None, length=n_batches)

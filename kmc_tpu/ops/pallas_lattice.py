@@ -163,6 +163,17 @@ def tiled_block_call(cfg: LatticeConfig, grid, disp, step, seed,
         return t
 
     th, tw = fit(h, tile[0]), fit(w, tile[1])
+    if min(th, tw) < 8 and (h, w) != (th, tw):
+        # prime/near-prime dims degrade to ~1-wide divisor tiles — a
+        # pathological grid for the kernel (ADVICE r4).  For an unghosted
+        # block within the VMEM-safe whole-grid range, fall back to ONE
+        # whole-grid padded call; otherwise reject loudly instead of
+        # silently running h*w near-scalar invocations.
+        assert not prepadded and max(h, w) <= 192, (
+            f"tiled_block_call: no usable tile divides ({h}, {w}) "
+            f"(best {th}x{tw}); pad the block to a composite size")
+        return padded_block_call(cfg, grid, disp, step, seed, dir_idx,
+                                 par_off, row0, col0, interpret=interpret)
     if not prepadded and (th, tw) == (h, w):
         return padded_block_call(cfg, grid, disp, step, seed, dir_idx,
                                  par_off, row0, col0, interpret=interpret)

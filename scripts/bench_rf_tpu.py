@@ -80,28 +80,32 @@ def bench_regime(name, n_particles, **probs):
     out.append({"regime": name, "mode": "rf_serial",
                 "events_per_s": rf_serial, "grid": H})
 
-    # ---- batched rejection-free (k_events sweep) ----
+    # ---- batched rejection-free (k_events x thinning sweep; VERDICT r4
+    # #7: the greedy rule's k-iteration fori_loop was the suspected
+    # per-batch floor — the parallel one-shot rule removes it) ----
     best_batched = 0.0
     for k in (64, 256):
-        n_b = 200
-        bchunk = make_rf_batch_chunk(cfg, n_b, k_events=k)
-        st, dts = bchunk(st0)
-        jax.block_until_ready(st)
-        t0 = time.perf_counter()
-        for _ in range(REPEATS):
-            st, dts = bchunk(st)
-        jax.block_until_ready(st)
-        dt = (time.perf_counter() - t0) / REPEATS
-        # events/batch = dt_batch * total_rate (Exp(1) waits have mean 1);
-        # measured on the final chunk's own dts against its start rates
-        tot = float(jnp.sum(event_rates(st.grid, cfg)))
-        ev_per_batch = float(jnp.mean(dts)) * tot
-        ev_s = n_b / dt * ev_per_batch
-        best_batched = max(best_batched, ev_s)
-        out.append({"regime": name, "mode": f"rf_batch_k{k}",
-                    "batches_per_s": n_b / dt,
-                    "events_per_batch_est": ev_per_batch,
-                    "events_per_s": ev_s, "grid": H})
+        for thinning in ("greedy", "parallel"):
+            n_b = 200
+            bchunk = make_rf_batch_chunk(cfg, n_b, k_events=k,
+                                         thinning=thinning)
+            st, dts = bchunk(st0)
+            jax.block_until_ready(st)
+            t0 = time.perf_counter()
+            for _ in range(REPEATS):
+                st, dts = bchunk(st)
+            jax.block_until_ready(st)
+            dt = (time.perf_counter() - t0) / REPEATS
+            # events/batch = dt_batch * total_rate (Exp(1) waits have mean
+            # 1); measured on the final chunk's own dts vs its start rates
+            tot = float(jnp.sum(event_rates(st.grid, cfg)))
+            ev_per_batch = float(jnp.mean(dts)) * tot
+            ev_s = n_b / dt * ev_per_batch
+            best_batched = max(best_batched, ev_s)
+            out.append({"regime": name, "mode": f"rf_batch_k{k}_{thinning}",
+                        "batches_per_s": n_b / dt,
+                        "events_per_batch_est": ev_per_batch,
+                        "events_per_s": ev_s, "grid": H})
 
     # ---- fixed-dt engine ----
     n_steps = 200

@@ -46,7 +46,8 @@ def test_cis_pair_cluster(small_cfg):
 
 def test_long_chain_converges(small_cfg):
     """Worst-case chain A0-cis... via alternating trans/cis links resolves
-    within label_prop_iters pointer-jumping rounds."""
+    exactly under label_closure_iters adjacency squarings (2^iters covers
+    the chain diameter; see clusters.reachability)."""
     na = small_cfg.n_a
     st = random_init(small_cfg, 0)
     # chain: B0-A0, A0 cis A1, A1-B1, B1-A2? A2 can't bind B1 twice; build

@@ -143,18 +143,39 @@ def test_equilibrium_matches_fixed_dt():
     assert rf[1:].sum() == pytest.approx(1.0, abs=1e-5)
 
 
-def test_batched_conservation_and_separation():
+@pytest.mark.parametrize("thinning", ["greedy", "parallel"])
+def test_batched_conservation_and_separation(thinning):
     """rf_batch_step conserves particles, and every batch's changed cells
-    honor the exclusion radius (kept events are spatially independent)."""
+    honor the exclusion radius (kept events are spatially independent) —
+    under BOTH independent-set rules (the one-shot parallel rule keeps a
+    subset of the greedy rule's events; see rejection_free.rf_batch_step)."""
     cfg = LatticeConfig(height=32, width=32, hop_prob=0.3, ass_prob=0.4,
                         diss_prob=0.2)
     st = init_lattice(cfg, seed=5, n_particles=120)
-    step = jax.jit(lambda s: rf_batch_step(s, cfg, 16, 3))
+    step = jax.jit(lambda s: rf_batch_step(s, cfg, 16, 3, thinning))
     for _ in range(30):
         st2 = step(st)
         assert int(particle_count(st2)) == 120
         assert float(st2.time) >= float(st.time)
         st = st2
+
+
+def test_parallel_thinning_subset_of_greedy():
+    """On identical states/streams, the parallel rule's kept events are a
+    SUBSET of the greedy rule's: both drop conflicts with higher-scored
+    kept candidates, and parallel additionally drops conflicts with
+    higher-scored DROPPED candidates.  Verified via changed-cell sets."""
+    cfg = LatticeConfig(height=32, width=32, hop_prob=0.3, ass_prob=0.4,
+                        diss_prob=0.2)
+    st = init_lattice(cfg, seed=9, n_particles=200)
+    for i in range(10):
+        g = rf_batch_step(st, cfg, 32, 3, "greedy")
+        p = rf_batch_step(st, cfg, 32, 3, "parallel")
+        ch_g = np.argwhere(np.asarray(g.grid != st.grid))
+        ch_p = set(map(tuple, np.argwhere(np.asarray(p.grid != st.grid))))
+        ch_gs = set(map(tuple, ch_g))
+        assert ch_p <= ch_gs, (i, ch_p - ch_gs)
+        st = g._replace(step=st.step + 1)
 
 
 def test_batched_equilibrium_matches_serial():
