@@ -84,8 +84,13 @@ def bench_regime(name, n_particles, **probs):
     # #7: the greedy rule's k-iteration fori_loop was the suspected
     # per-batch floor — the parallel one-shot rule removes it) ----
     best_batched = 0.0
+    # greedy-vs-parallel head-to-head only in the regimes where batched RF
+    # is competitive (each (regime, k, thinning) is its own ~minute-long
+    # tunnel compile; the dense regimes are fixed-dt territory anyway)
+    thinnings = (("greedy", "parallel") if name in ("frozen", "terminal")
+                 else ("parallel",))
     for k in (64, 256):
-        for thinning in ("greedy", "parallel"):
+        for thinning in thinnings:
             n_b = 200
             bchunk = make_rf_batch_chunk(cfg, n_b, k_events=k,
                                          thinning=thinning)

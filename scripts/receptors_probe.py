@@ -149,12 +149,17 @@ def cmd_ours(args):
 def cmd_report(args):
     ref_rates = []
     ref_steps = []
+    ref_tail_rates = []                 # last 75% only (init-transient check)
     for r in range(args.ref_runs):
         path = os.path.join(args.workdir, f"run{r}", "chan.dat")
         rows = np.loadtxt(path).reshape(-1, 12)
         # cumulative counters at the last completed output
         ref_rates.append(rows[-1, 2] / rows[-1, 0])          # elig_mono/step
         ref_steps.append(int(rows[-1, 0]))
+        q = len(rows) // 4
+        if q >= 1:
+            ref_tail_rates.append((rows[-1, 2] - rows[q - 1, 2])
+                                  / (rows[-1, 0] - rows[q - 1, 0]))
     ref_rates = np.asarray(ref_rates)
     z = np.load(os.path.join(args.workdir, "ours_elig.npz"))
     steps = int(z["steps"])
@@ -175,6 +180,8 @@ def cmd_report(args):
         "ref_rate_per_step": float(ref_mean),
         "ref_rate_se": float(ref_se),
         "ref_rates": [float(x) for x in ref_rates],
+        "ref_tail75_rate_per_step": float(np.mean(ref_tail_rates))
+        if ref_tail_rates else None,
         "our_replicas": len(ours),
         "our_steps": steps,
         "our_rate_per_step": float(our_mean),
