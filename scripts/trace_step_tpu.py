@@ -51,7 +51,21 @@ def main():
         state, _ = chunk(state)
         state = jax.block_until_ready(state)
 
-    # ---- parse the xplane into an op table ----
+    # ---- parse the captured trace into an op table ----
+    # primary path: the Chrome trace JSON via scripts/parse_trace_json.py
+    # (tensorboard_plugin_profile's protobuf bindings are broken in this
+    # image — "Descriptors cannot be created directly"; observed r5)
+    jpaths = sorted(glob.glob(
+        os.path.join(args.logdir, "plugins/profile/*/*.trace.json.gz")),
+        key=os.path.getmtime)
+    if jpaths:
+        import subprocess
+
+        subprocess.run([sys.executable, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "parse_trace_json.py"), jpaths[-1]])
+        return
+
     paths = sorted(glob.glob(
         os.path.join(args.logdir, "plugins/profile/*/*.xplane.pb")),
         key=os.path.getmtime)
