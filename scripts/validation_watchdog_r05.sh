@@ -11,6 +11,7 @@ STOP_MARK=/tmp/val_r05_stop        # touch this to stop the watchdog cleanly
 launch() {
   nohup /root/repo/scripts/run_validation_r05.sh >> "$LOG" 2>&1 &
   VPID=$!
+  LAUNCH_T=$(date +%s)
   echo "$VPID" > /tmp/val_r05_vpid
   echo "$(date -u +%H:%M:%S) launched validator pid $VPID" >> /tmp/val_watchdog_r05.log
 }
@@ -35,8 +36,14 @@ while true; do
     continue
   fi
   if [ -f "$PROGRESS" ]; then
-    age=$(( $(date +%s) - $(stat -c %Y "$PROGRESS") ))
-    if [ "$age" -gt 360 ]; then
+    # staleness is measured from the LATER of the last output and this
+    # validator's launch: after a pause (TPU window) the file is already
+    # old at launch, and the first output costs a ~5-10 min recompile —
+    # measuring from mtime alone kill-loops the resume forever (hit r5)
+    mt=$(stat -c %Y "$PROGRESS")
+    base=$(( mt > LAUNCH_T ? mt : LAUNCH_T ))
+    age=$(( $(date +%s) - base ))
+    if [ "$age" -gt 600 ]; then
       echo "$(date -u +%H:%M:%S) stale ${age}s; killing $VPID for resume" >> /tmp/val_watchdog_r05.log
       kill "$VPID" 2>/dev/null
       sleep 5
