@@ -527,6 +527,23 @@ def cmd_kinetics(args):
         if anchor_t is not None:
             report["anchor"] = {"cpt": args.init_cpt, "t_ns": anchor_t,
                                 "skipped_rows": skip}
+        si = int(getattr(args, "skip_initial", 0) or 0)
+        if si:
+            # burn-in mask for continuations anchored at a SINGLE broadcast
+            # state that is not the oracle's own (e.g. our replica-0 cpt):
+            # until the replicas decorrelate, the ensemble band has ~zero
+            # width and coverage misses there measure the anchor choice,
+            # not the kinetics.  The masked rows are reported, not hidden.
+            report["skip_initial_burn_in_rows"] = si
+            kin = {c: np.where(np.arange(len(v))[:, None] < si, np.nan,
+                               np.asarray(v, dtype=np.float64))
+                   for c, v in kin.items()}
+            if hist_ens is not None:
+                hist_ens = np.asarray(hist_ens, dtype=np.float64).copy()
+                hist_ens[:si] = np.nan
+            if ahist_ens is not None:
+                ahist_ens = np.asarray(ahist_ens, dtype=np.float64).copy()
+                ahist_ens[:si] = np.nan
         ok = True
         for r in refs_now:
             n_r = min(len(r), k_avail)
@@ -693,6 +710,10 @@ def main():
                         "output — stall insurance for the TPU tunnel")
     k.add_argument("--resume-state", action="store_true",
                    help="resume from --state-file if it exists")
+    k.add_argument("--skip-initial", type=int, default=0,
+                   help="mask the first N ensemble outputs in the report "
+                        "(decorrelation burn-in for continuations anchored "
+                        "at a broadcast non-oracle state)")
     k.add_argument("--report-only", action="store_true",
                    help="build the report from --state-file without "
                         "running (mint a final report mid-horizon)")
