@@ -171,6 +171,18 @@ KIN_COLS = ["bond_rl", "bond_mono_cis", "bond_cis", "bond_num",
             "cluster_size", "max_complex"]
 KIN_LAGS = {"bond_rl": 5, "bond_mono_cis": 5, "bond_cis": 5, "bond_num": 5,
             "cluster_size": 5, "max_complex": 20}
+# In-band tolerance per column.  The integer counters need only a float
+# epsilon, but cluster_size is a REAL mean printed by the reference at
+# %.3f (main.cpp:2251) — i.e. quantized to 5e-4 — while our ensemble
+# statistic is computed in f32 on device (~4e-7 off at 9.4).  When the
+# conditional band's edge sits exactly on the shared plateau value (an
+# anchored continuation deep in coarsening holds the same rational mean
+# for dozens of rows), a 1e-9 tolerance turns that pure representation
+# mismatch into a systematic false miss; 1e-3 covers print quantum +
+# f32 rounding and is far below the ~5e-3 spacing of distinct achievable
+# means at reference scale.
+KIN_ATOL = {c: 1e-9 for c in KIN_COLS}
+KIN_ATOL["cluster_size"] = 1e-3
 
 
 def truncate_outputs(out_dir, cfg, rows):
@@ -399,7 +411,8 @@ def _kinetics_report(kin, ref, args):
         s_v, r_v = samples[valid], refv[valid]
         lo = np.quantile(s_v, 1 - q, axis=1)
         hi = np.quantile(s_v, q, axis=1)
-        inside = (r_v >= lo - 1e-9) & (r_v <= hi + 1e-9)
+        atol = KIN_ATOL[c]
+        inside = (r_v >= lo - atol) & (r_v <= hi + atol)
         frac = float(np.mean(inside))
         # binomial lower tail at effective sample size (lag decorrelation)
         n_eff = max(n_valid // KIN_LAGS[c], 1)
